@@ -1,0 +1,151 @@
+"""Kernel Gram linear operators.
+
+TPU re-design of the reference kernel linop stack (``rlaopt/kernels/base.py``):
+
+* ``_KernelLinOp`` (base.py:23-128) wrapped a KeOps LazyTensor; here the
+  operator is a pytree whose payload is the data (X1, X2, lengthscale, scale)
+  and whose matvec streams blockwise kernel tiles
+  (:func:`rlaopt_tpu.ops.kernel_dispatch.kernel_matmat`) — fused Pallas on
+  TPU, XLA ``lax.map`` elsewhere. K is never materialized.
+* ``_CacheableKernelLinOp`` + per-PID caches (base.py:131-244) have **no
+  equivalent and no need**: XLA compiles the streaming matvec once per shape;
+  there are no worker processes.
+* ``row_oracle`` / ``blk_oracle`` (base.py:124-128) are index-gather + the
+  same streaming kernel, traceable under jit with a static block size (SAP
+  calls them inside ``lax.scan``).
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .configs import KernelConfig, _is_kernel_config
+from ..linops.base import TwoSidedLinOp
+from ..ops.kernel_dispatch import kernel_matmat
+from ..utils.checkers import _is_array
+
+
+__all__ = ["KernelLinOp"]
+
+
+class KernelLinOp(TwoSidedLinOp):
+    """Matrix-free Gram operator K[i,j] = c·k(A1[i], A2[j])."""
+
+    def __init__(
+        self,
+        A1: jax.Array,
+        A2: jax.Array,
+        kernel_config: KernelConfig,
+        kind: str,
+        impl: str = "auto",
+    ):
+        self._check_inputs(A1, A2, kernel_config)
+        self.kind = kind
+        self.impl = impl
+        self._kernel_config = kernel_config
+        ls = kernel_config.lengthscale_array(A1.dtype)
+        scale = jnp.asarray(kernel_config.const_scaling, A1.dtype)
+        data = {"X1": A1, "X2": A2, "ls": ls, "scale": scale}
+
+        def mv(d, v):
+            return kernel_matmat(
+                kind, d["X1"], d["X2"], v, d["ls"], d["scale"], impl=impl
+            )
+
+        def rmv(d, v):
+            # k symmetric in its arguments: Kᵀ = k(X2, X1)
+            return kernel_matmat(
+                kind, d["X2"], d["X1"], v, d["ls"], d["scale"], impl=impl
+            )
+
+        super().__init__(
+            shape=(A1.shape[0], A2.shape[0]),
+            matvec=mv,
+            rmatvec=rmv,
+            matmat=mv,
+            rmatmat=rmv,
+            dtype=A1.dtype,
+            data=data,
+        )
+
+    @property
+    def A1(self) -> jax.Array:
+        return self._data["X1"]
+
+    @property
+    def A2(self) -> jax.Array:
+        return self._data["X2"]
+
+    @property
+    def kernel_config(self) -> KernelConfig:
+        return self._kernel_config
+
+    def _check_inputs(self, A1, A2, kernel_config):
+        _is_array(A1, "A1")
+        _is_array(A2, "A2")
+        if A1.ndim != 2:
+            raise ValueError(f"A1 must be a 2D array, got {A1.ndim}D array.")
+        if A2.ndim != 2:
+            raise ValueError(f"A2 must be a 2D array, got {A2.ndim}D array.")
+        if A1.dtype != A2.dtype:
+            raise ValueError("A1 and A2 must have the same dtype.")
+        _is_kernel_config(kernel_config, "kernel_config")
+
+    def _submatrix(
+        self, idx1: Optional[jax.Array] = None, idx2: Optional[jax.Array] = None
+    ) -> "KernelLinOp":
+        """Operator over gathered subsets of the data points (jit-safe)."""
+        A1 = self.A1 if idx1 is None else self.A1[idx1]
+        A2 = self.A2 if idx2 is None else self.A2[idx2]
+        return KernelLinOp(A1, A2, self._kernel_config, self.kind, self.impl)
+
+    def row_oracle(self, blk: jax.Array) -> "KernelLinOp":
+        """K[blk, :] as an operator."""
+        return self._submatrix(idx1=blk)
+
+    def blk_oracle(self, blk: jax.Array) -> "KernelLinOp":
+        """K[blk, blk] as an operator."""
+        return self._submatrix(idx1=blk, idx2=blk)
+
+    # -- pytree protocol (payload arrays are children; config is rebuilt) ----
+    def tree_flatten(self):
+        children = (self._data, self._scale)
+        aux = (
+            self._shape,
+            self._dtype,
+            self._mv,
+            self._mm,
+            self._rmv,
+            self._rmm,
+            self.kind,
+            self.impl,
+            self._kernel_config.const_scaling,
+        )
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        (
+            obj._shape,
+            obj._dtype,
+            obj._mv,
+            obj._mm,
+            obj._rmv,
+            obj._rmm,
+            obj.kind,
+            obj.impl,
+            const_scaling,
+        ) = aux
+        obj._data, obj._scale = children
+        cfg = object.__new__(KernelConfig)
+        cfg.const_scaling = const_scaling
+        cfg.lengthscale = obj._data["ls"]
+        obj._kernel_config = cfg
+        return obj
+
+
+jax.tree_util.register_pytree_node(
+    KernelLinOp, KernelLinOp.tree_flatten, KernelLinOp.tree_unflatten
+)

@@ -1,0 +1,201 @@
+"""Mesh-sharded kernel Gram operators.
+
+TPU-native replacement for ``_DistributedKernelLinOp``
+(``rlaopt/kernels/base.py:247-520``). The reference row-chunks A1 across
+worker processes, ships A2 (whole, or chunked for oracles) to each device,
+and re-uses workers for the row/blk oracles. Here:
+
+* A1 is **row-sharded** over the mesh axis (zero-padded to a multiple of the
+  mesh size). A2 is kept twice: **row-sharded** (for the column-distributed
+  row oracle — the analog of the reference's per-device ``A2_chunks``,
+  ``kernels/base.py:305-307``) and, only when ``use_full_kernel=True``,
+  **replicated** (for the full matvec — the analog of full-kernel mode;
+  oracle-only mode skips this replication exactly like
+  ``kernels/base.py:311-316``).
+* Full ``matvec`` streams the local (n_loc × m) kernel slab per device with
+  **no collective** (output stays row-sharded); ``rmatvec`` is one ``psum``.
+* ``row_oracle(blk)`` — K[blk, :] — gathers the small point block across
+  shards and returns a **column-distributed** operator: each device contracts
+  k(X[blk], A2_loc) with its slab of the operand, one ``psum`` combines
+  (reference: ``kernels/base.py:408-447``).
+* ``blk_oracle(blk)`` — K[blk, blk] — is computed replicated: the block is
+  tiny relative to the full operator and replication avoids a scatter
+  round-trip (the reference distributes it over the same workers,
+  ``kernels/base.py:449-505``).
+* Worker reuse / ``is_new=False`` plumbing has no equivalent: sharding is
+  compile-time metadata.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .configs import KernelConfig, _is_kernel_config
+from .linop import KernelLinOp
+from ..linops.sharded import ShardedLinOp
+from ..ops.kernel_dispatch import kernel_matmat
+from ..parallel.mesh import make_mesh, pad_to_multiple
+from ..utils.checkers import _is_array
+
+
+__all__ = ["ShardedKernelLinOp"]
+
+
+class ShardedKernelLinOp(ShardedLinOp):
+    """Row-sharded Gram operator K[i,j] = c·k(A1[i], A2[j]) over a mesh."""
+
+    def __init__(
+        self,
+        A1: jax.Array,
+        A2: jax.Array,
+        kernel_config: KernelConfig,
+        kind: str,
+        mesh=None,
+        axis: str = "i",
+        impl: str = "auto",
+        use_full_kernel: bool = True,
+    ):
+        self._check_inputs(A1, A2, kernel_config)
+        mesh = mesh if mesh is not None else make_mesh(axis=axis)
+        ndev = mesh.shape[axis]
+        self.kind = kind
+        self.impl = impl
+        self._kernel_config = kernel_config
+        self.use_full_kernel = use_full_kernel
+
+        n, d = A1.shape
+        m = A2.shape[0]
+        ls = jnp.broadcast_to(kernel_config.lengthscale_array(A1.dtype), (d,))
+
+        A1p, _ = pad_to_multiple(jnp.asarray(A1), ndev, axis=0)
+        A2p, _ = pad_to_multiple(jnp.asarray(A2), ndev, axis=0)
+        X1 = jax.device_put(A1p, NamedSharding(mesh, P(axis, None)))
+        X2s = jax.device_put(A2p, NamedSharding(mesh, P(axis, None)))
+        ls = jax.device_put(ls, NamedSharding(mesh, P()))
+
+        data = {"X1": X1, "X2s": X2s, "ls": ls}
+        specs = {"X1": P(axis, None), "X2s": P(axis, None), "ls": P()}
+        if use_full_kernel:
+            data["X2r"] = jax.device_put(
+                jnp.asarray(A2), NamedSharding(mesh, P())
+            )
+            specs["X2r"] = P()
+
+        def mv(dd, v):
+            # local row slab: k(X1_loc, X2) @ v — no collective needed
+            return kernel_matmat(kind, dd["X1"], dd["X2r"], v, dd["ls"], impl=impl)
+
+        def rmv(dd, y_loc):
+            # partial column result: k(X2, X1_loc) @ y_loc (psum-combined)
+            return kernel_matmat(kind, dd["X2r"], dd["X1"], y_loc, dd["ls"], impl=impl)
+
+        super().__init__(
+            shape=(n, m),
+            matvec=mv,
+            rmatvec=rmv,
+            mesh=mesh,
+            data=data,
+            data_specs=specs,
+            mode="row",
+            axis=axis,
+            dtype=A1.dtype,
+            padded_shape=(A1p.shape[0], m),
+            scale=float(kernel_config.const_scaling),
+        )
+        self._m_padded = A2p.shape[0]
+
+    @property
+    def A1(self) -> jax.Array:
+        return self._data["X1"][: self.shape[0]]
+
+    @property
+    def A2(self) -> jax.Array:
+        return self._data["X2s"][: self.shape[1]]
+
+    @property
+    def kernel_config(self) -> KernelConfig:
+        return self._kernel_config
+
+    def _check_inputs(self, A1, A2, kernel_config):
+        _is_array(A1, "A1")
+        _is_array(A2, "A2")
+        if A1.ndim != 2 or A2.ndim != 2:
+            raise ValueError("A1 and A2 must be 2D arrays.")
+        if A1.dtype != A2.dtype:
+            raise ValueError("A1 and A2 must have the same dtype.")
+        _is_kernel_config(kernel_config, "kernel_config")
+
+    def _require_full(self):
+        if not self.use_full_kernel:
+            raise RuntimeError(
+                "operator built with use_full_kernel=False exposes only "
+                "row_oracle/blk_oracle"
+            )
+
+    def matvec(self, x):
+        self._require_full()
+        return super().matvec(x)
+
+    def matmat(self, X):
+        self._require_full()
+        return super().matmat(X)
+
+    def rmatvec(self, x):
+        self._require_full()
+        return super().rmatvec(x)
+
+    def rmatmat(self, X):
+        self._require_full()
+        return super().rmatmat(X)
+
+    # -- oracles -------------------------------------------------------------
+    def _gather_rows_A1(self, blk: jax.Array) -> jax.Array:
+        """A1[blk] — small cross-shard gather."""
+        return self._data["X1"][blk]
+
+    def _gather_rows_A2(self, blk: jax.Array) -> jax.Array:
+        return self._data["X2s"][blk]
+
+    def row_oracle(self, blk: jax.Array) -> ShardedLinOp:
+        """K[blk, :] as a column-distributed operator (one psum per apply)."""
+        x_blk = self._gather_rows_A1(blk)
+        b = x_blk.shape[0]
+        kind, impl, axis = self.kind, self.impl, self.axis
+
+        data = {"Xb": x_blk, "X2s": self._data["X2s"], "ls": self._data["ls"]}
+        specs = {"Xb": P(), "X2s": P(axis, None), "ls": P()}
+
+        def mv(dd, w_loc):
+            return kernel_matmat(
+                kind, dd["Xb"], dd["X2s"], w_loc, dd["ls"], impl=impl
+            )
+
+        def rmv(dd, y):
+            return kernel_matmat(
+                kind, dd["X2s"], dd["Xb"], y, dd["ls"], impl=impl
+            )
+
+        return ShardedLinOp(
+            shape=(b, self.shape[1]),
+            matvec=mv,
+            rmatvec=rmv,
+            mesh=self.mesh,
+            data=data,
+            data_specs=specs,
+            mode="column",
+            axis=axis,
+            dtype=self.dtype,
+            padded_shape=(b, self._m_padded),
+            scale=self._scale,
+        )
+
+    def blk_oracle(self, blk: jax.Array) -> KernelLinOp:
+        """K[blk, blk], computed replicated (block ≪ full operator)."""
+        x1b = self._gather_rows_A1(blk)
+        x2b = self._gather_rows_A2(blk)
+        op = KernelLinOp(x1b, x2b, self._kernel_config, self.kind, self.impl)
+        return op
+
+    def shutdown(self):
+        """No-op (reference clears per-process KeOps caches and kills workers)."""

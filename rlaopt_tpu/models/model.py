@@ -1,0 +1,121 @@
+"""Model ABC — solve-loop orchestration.
+
+Parity: ``rlaopt/models/model.py:14-128``. The training loop keeps the
+reference's observable semantics — metrics, callback merging, wandb config
+population, termination checked only on logging iterations — but drives the
+solver in compiled chunks of ``callback_freq`` iterations instead of
+host-stepping every iteration. Because the reference's convergence mask also
+only updates on logging iterations, the chunked execution is
+iterate-for-iterate equivalent, while the hot loop never leaves the device.
+"""
+
+from abc import ABC, abstractmethod
+from typing import Callable, Optional
+from warnings import warn
+
+from ..solvers import Solver, SolverConfig
+from ..utils.logger import Logger
+
+
+__all__ = ["Model"]
+
+
+class Model(ABC):
+    def __init__(self, *args, **kwargs):
+        pass
+
+    @abstractmethod
+    def _check_inputs(self, *args, **kwargs):
+        pass
+
+    @abstractmethod
+    def _compute_internal_metrics(self, *args, **kwargs):
+        pass
+
+    @abstractmethod
+    def _check_termination_criteria(self, *args, **kwargs):
+        pass
+
+    def _get_log_fn(
+        self,
+        callback_fn: Optional[Callable],
+        callback_args: list,
+        callback_kwargs: dict,
+    ):
+        if callback_fn is not None:
+
+            def log_fn(w):
+                callback_log = callback_fn(w, self, *callback_args, **callback_kwargs)
+                internal_metrics_log = self._compute_internal_metrics(w)
+                return {
+                    "callback": callback_log,
+                    "internal_metrics": internal_metrics_log,
+                }
+
+        else:
+
+            def log_fn(w):
+                return {"internal_metrics": self._compute_internal_metrics(w)}
+
+        return log_fn
+
+    def _get_wandb_kwargs(
+        self,
+        log_in_wandb: bool,
+        wandb_init_kwargs: Optional[dict],
+        solver_name: str,
+        solver_config: SolverConfig,
+        callback_freq: int,
+    ):
+        if not log_in_wandb:
+            return None
+        wandb_kwargs = {
+            "config": {
+                "solver_name": solver_name,
+                "solver_config": solver_config.to_dict(),
+                "callback_freq": callback_freq,
+            },
+        }
+        if wandb_init_kwargs is not None:
+            for key, value in wandb_init_kwargs.items():
+                if key == "config":
+                    warn(
+                        "Found 'config' key in wandb_init_kwargs. "
+                        "Merging with internally specified 'config' key."
+                    )
+                    wandb_kwargs["config"].update(value)
+                else:
+                    wandb_kwargs[key] = value
+        return wandb_kwargs
+
+    def _train(
+        self,
+        logger: Logger,
+        termination_fn: Callable,
+        solver: Solver,
+        max_iters: int,
+    ):
+        """Run the solve loop in chunks of ``logger.log_freq`` iterations."""
+        log = {}
+
+        log[0] = logger._compute_log(0, solver.W)
+        if termination_fn(log[0]["metrics"]["internal_metrics"]):
+            return solver.W, log
+
+        i = 0
+        while i < max_iters:
+            n_steps = min(logger.log_freq, max_iters - i)
+            solver._run_chunk(n_steps)
+            i += n_steps
+            log_i = logger._compute_log(i, solver.W)
+            if log_i is not None:
+                log[i] = log_i
+                if termination_fn(log_i["metrics"]["internal_metrics"]):
+                    break
+
+        logger._terminate()
+        return solver.W, log
+
+    @abstractmethod
+    def solve(self, *args, **kwargs):
+        pass

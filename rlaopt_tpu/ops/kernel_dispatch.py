@@ -1,0 +1,47 @@
+"""Implementation dispatch for the streaming kernel matmat.
+
+``impl='auto'`` picks the fused Pallas kernel on TPU backends (when the
+feature dimension fits a VMEM tile) and the XLA streaming fallback elsewhere.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from .kernel_xla import kernel_matmat_xla
+
+
+__all__ = ["kernel_matmat"]
+
+# Feature-dimension cap for holding (tile, d) operands in VMEM.
+_PALLAS_MAX_D = 2048
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def kernel_matmat(
+    kind: str,
+    X1: jax.Array,
+    X2: jax.Array,
+    V: jax.Array,
+    lengthscale,
+    const_scaling=1.0,
+    impl: str = "auto",
+) -> jax.Array:
+    """k(X1, X2) @ V with implementation selection (see module docstring)."""
+    if impl == "auto":
+        use_pallas = _on_tpu() and X1.shape[1] <= _PALLAS_MAX_D
+        impl = "pallas" if use_pallas else "xla"
+    if impl == "pallas":
+        from .kernel_pallas import kernel_matmat_pallas
+
+        return kernel_matmat_pallas(
+            kind, X1, X2, V, lengthscale, const_scaling
+        )
+    if impl == "xla":
+        return kernel_matmat_xla(kind, X1, X2, V, lengthscale, const_scaling)
+    raise ValueError(f"Unknown kernel impl {impl!r}")

@@ -1,0 +1,194 @@
+"""Block preconditioned conjugate gradient, TPU-native.
+
+Behavioral parity with the reference PCG (``rlaopt/solvers/pcg.py:13-93``)
+including per-column convergence masking, re-designed for XLA:
+
+* **Static shapes.** The reference shrinks matrices to the unconverged columns
+  (boolean fancy-indexing). Here every iteration computes full-width updates
+  and *embeds* the masked sub-solves: with column mask m and M = P_ᵀAP_, the
+  solve over the masked submatrix equals solving
+  ``(M ⊙ mmᵀ + diag(1−m)) α = RZ ⊙ mmᵀ`` — the off-mask block is the
+  identity, so α has zero rows/columns off-mask and the full-width update
+  touches exactly the reference's entries, iterate-for-iterate.
+* **Chunked execution.** ``_run_chunk(n)`` compiles n iterations into one
+  ``lax.scan``; the mask is constant within a chunk, which matches the
+  reference exactly (the mask only changes on logging iterations,
+  ``rlaopt/models/model.py:104-110``).
+* The preconditioner is built once from the full operator and threaded
+  through the loop as a pytree (functional inverse).
+"""
+
+from functools import partial
+from typing import NamedTuple, TYPE_CHECKING
+
+import jax
+import jax.numpy as jnp
+
+from .solver import Solver
+from ..preconditioners import PreconditionerConfig, _get_precond
+from ..linops.base import LinOp
+from ..utils.checkers import _as_key
+from ..utils.linalg import hmm
+
+if TYPE_CHECKING:
+    from ..models import LinSys
+
+
+__all__ = ["PCG", "PCGState", "pcg_init", "pcg_step"]
+
+
+class PCGState(NamedTuple):
+    W: jax.Array
+    R: jax.Array
+    Z: jax.Array
+    P_: jax.Array
+    RZ: jax.Array
+    ok: jax.Array  # per-column health: False once CG breaks down (f32 floor)
+
+
+def _op_mm(A, X):
+    """A @ X for LinOp or dense operand (dense at highest precision)."""
+    if isinstance(A, LinOp):
+        return A @ X
+    return hmm(A, X)
+
+
+def pcg_init(A, B, reg, W, inv_fn, pstate) -> PCGState:
+    """R = B − (A + reg·I)W;  Z = P⁻¹R;  P_ = Z;  RZ = RᵀZ."""
+    R = B - (_op_mm(A, W) + reg * W)
+    Z = inv_fn(pstate, R)
+    P_ = Z
+    RZ = hmm(R.T, Z)
+    ok = jnp.ones((W.shape[1],), dtype=bool)
+    return PCGState(W=W, R=R, Z=Z, P_=P_, RZ=RZ, ok=ok)
+
+
+def _masked_embed(M, m):
+    """Embed the masked submatrix of M as a block-identity full matrix."""
+    mm = jnp.outer(m, m)
+    return M * mm + jnp.diag(1.0 - m)
+
+
+def _safe_solve(M, B):
+    """Solve M X = B with a relative-eps ridge on M.
+
+    Near convergence the small k×k systems (P_ᵀAP_ and RᵀZ) become
+    numerically singular in f32 — the reference's ``torch.linalg.solve``
+    would error out there; the eps·max|diag| ridge keeps the solve finite
+    while perturbing well-conditioned systems at rounding level.
+    """
+    k = M.shape[0]
+    delta = jnp.finfo(M.dtype).eps * jnp.max(jnp.abs(jnp.diagonal(M)))
+    return jnp.linalg.solve(M + delta * jnp.eye(k, dtype=M.dtype), B)
+
+
+def pcg_step(A, reg, inv_fn, pstate, state: PCGState, mask) -> PCGState:
+    """One masked PCG iteration (full-width, mask-frozen columns).
+
+    Columns are active when unconverged (``mask``) AND healthy (``state.ok``).
+    A column turns unhealthy — permanently frozen — when its RᵀZ diagonal
+    stops being positive-finite: the standard CG breakdown signal, reached at
+    the dtype's accuracy floor. (The reference has no guard; its small solves
+    error out or pollute every column at that point.)
+    """
+    dtype = state.W.dtype
+    active = jnp.logical_and(mask, state.ok)
+    m = active.astype(dtype)
+    mm = jnp.outer(m, m)
+
+    AP = _op_mm(A, state.P_) + reg * state.P_
+    M = _masked_embed(hmm(state.P_.T, AP), m)
+    RZ_masked = state.RZ * mm
+    alpha = _safe_solve(M, RZ_masked)  # zero rows/cols off-mask
+
+    W = state.W + hmm(state.P_, alpha) * m[None, :]
+    R = state.R - hmm(AP, alpha) * m[None, :]
+
+    Z_new = inv_fn(pstate, R)
+    Z = jnp.where(active[None, :], Z_new, state.Z)
+
+    RZ_new = hmm(R.T, Z_new) * mm
+    beta = _safe_solve(_masked_embed(state.RZ, m), RZ_new)
+    P_ = jnp.where(active[None, :], Z_new + hmm(state.P_, beta), state.P_)
+
+    # Per-column health check on the *candidate* state.
+    col_finite = (
+        jnp.all(jnp.isfinite(W), axis=0)
+        & jnp.all(jnp.isfinite(R), axis=0)
+        & jnp.all(jnp.isfinite(P_), axis=0)
+        & jnp.all(jnp.isfinite(RZ_new), axis=0)
+    )
+    col_pd = jnp.diagonal(RZ_new) > 0
+    healthy = jnp.where(active, col_finite & col_pd, state.ok)
+
+    # Freeze columns that just went unhealthy: keep the previous state there.
+    keep = jnp.logical_or(~active, healthy)[None, :]
+    W = jnp.where(keep, W, state.W)
+    R = jnp.where(keep, R, state.R)
+    Z = jnp.where(keep, Z, state.Z)
+    P_ = jnp.where(keep, P_, state.P_)
+    hh = jnp.outer(healthy, healthy)
+    RZ_out = jnp.where(hh, RZ_new, 0.0)
+
+    return PCGState(W=W, R=R, Z=Z, P_=P_, RZ=RZ_out, ok=healthy)
+
+
+class PCG(Solver):
+    """PCG solver over a :class:`~rlaopt_tpu.models.LinSys` system.
+
+    The chunk function closes over the operator (sharded operators carry a
+    Mesh and are not jit operands); its payload arrays become jit constants.
+    """
+
+    def __init__(
+        self,
+        system: "LinSys",
+        W_init: jax.Array,
+        precond_config: PreconditionerConfig,
+        key=None,
+    ):
+        self.system = system
+        self.precond_config = precond_config
+        self._key = _as_key(key)
+        self.P = self._get_precond()
+        self._inv_fn, self._pstate = self.P._functional_inverse()
+        self._reg = jnp.asarray(system.reg, dtype=W_init.dtype)
+        W0 = jnp.asarray(W_init)
+        if W0.ndim == 1:
+            W0 = W0[:, None]
+        A, inv_fn = system.A, self._inv_fn
+
+        @partial(jax.jit, static_argnames=("n_steps",))
+        def chunk(reg, pstate, state, mask, n_steps):
+            def body(s, _):
+                return pcg_step(A, reg, inv_fn, pstate, s, mask), None
+
+            state, _ = jax.lax.scan(body, state, None, length=n_steps)
+            return state
+
+        self._chunk_fn = chunk
+        self.state = jax.jit(lambda B, reg, W, pstate: pcg_init(
+            A, B, reg, W, inv_fn, pstate
+        ))(system.B, self._reg, W0, self._pstate)
+
+    @property
+    def W(self):
+        return self.state.W
+
+    def _get_precond(self):
+        P = _get_precond(self.precond_config)
+        P._update(self.system.A, key=self._key)
+        P._update_damping(baseline_rho=self.system.reg)
+        return P
+
+    def _step(self):
+        self._run_chunk(1)
+
+    def _run_chunk(self, n_steps: int):
+        self.state = self._chunk_fn(
+            self._reg,
+            self._pstate,
+            self.state,
+            self.system.mask,
+            n_steps=n_steps,
+        )

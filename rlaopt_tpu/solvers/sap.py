@@ -1,0 +1,201 @@
+"""SAP — randomized block-coordinate solver ("ASkotch" for KRR), TPU-native.
+
+Behavioral parity with the reference SAP (``rlaopt/solvers/sap.py:25-175``):
+uniform block sampling without replacement, per-step block preconditioner
+(Identity/Newton/Nyström) built from ``A_blk_oracle(blk)`` with baseline-reg
+damping, stepsize 1/λ_max(P⁻¹(A_blk + reg·I)) via randomized powering (exact
+Newton shortcut = 1.0), block gradient through ``A_row_oracle(blk)``, optional
+Nesterov-type acceleration with (β, γ, α) from (μ, ν), per-column convergence
+masking.
+
+TPU re-design:
+
+* The entire iteration — sampling, block-Nyström build, power iteration,
+  gradient, scatter update — is one traced function; ``_run_chunk(n)`` runs n
+  iterations in a single ``lax.scan`` with the PRNG key threaded through the
+  carry. Fixed ``blk_sz`` keeps all shapes static.
+* Column masking is full-width compute with ``jnp.where`` freezing converged
+  columns (identical iterates; see pcg.py for the embedding argument).
+* Block updates use ``W.at[blk].add(...)`` scatter — no dynamic shapes.
+
+Note: the reference crashes (NameError) for a Newton block preconditioner
+with rho ≠ reg (``sap.py:88-111`` leaves S undefined); here that case takes
+the power-iteration path as intended.
+"""
+
+from functools import partial
+from typing import NamedTuple, TYPE_CHECKING
+
+import jax
+import jax.numpy as jnp
+
+from .configs import SAPAccelConfig
+from .solver import Solver
+from ..linops.base import LinOp
+from ..preconditioners import (
+    IdentityConfig,
+    NewtonConfig,
+    NystromConfig,
+    PreconditionerConfig,
+)
+from ..preconditioners.enums import _DampingMode
+from ..preconditioners.newton import newton_apply_inv, newton_update
+from ..preconditioners.nystrom import (
+    nystrom_apply_inv,
+    nystrom_inv_chol,
+    nystrom_update,
+)
+from ..spectral_estimators.spectral_norm import randomized_powering
+from ..utils.checkers import _as_key
+
+if TYPE_CHECKING:
+    from ..models import LinSys
+
+
+__all__ = ["SAP", "SAPState"]
+
+VALID_PRECONDS = [IdentityConfig, NewtonConfig, NystromConfig]
+
+
+class SAPState(NamedTuple):
+    W: jax.Array
+    V: jax.Array  # momentum term (aliases W when accel=False)
+    Y: jax.Array  # acceleration point (aliases W when accel=False)
+    key: jax.Array
+
+
+class SAP(Solver):
+    """SAP solver over a :class:`~rlaopt_tpu.models.LinSys` system."""
+
+    def __init__(
+        self,
+        system: "LinSys",
+        W_init: jax.Array,
+        precond_config: PreconditionerConfig,
+        blk_sz: int,
+        accel: bool,
+        accel_config: SAPAccelConfig,
+        power_iters: int,
+        key=None,
+    ):
+        self.system = system
+        if type(precond_config) not in VALID_PRECONDS:
+            raise TypeError(
+                f"Valid preconditioner configs for SAP are {VALID_PRECONDS}, "
+                f"but received {type(precond_config)}"
+            )
+        if system.A_row_oracle is None or system.A_blk_oracle is None:
+            raise ValueError("SAP requires A_row_oracle and A_blk_oracle")
+        self.precond_config = precond_config
+        self.blk_sz = blk_sz
+        self.accel = accel
+        self.accel_config = accel_config
+        self.power_iters = power_iters
+
+        W0 = jnp.asarray(W_init)
+        if W0.ndim == 1:
+            W0 = W0[:, None]
+        if self.accel:
+            self.beta = 1 - (accel_config.mu / accel_config.nu) ** 0.5
+            self.gamma = 1 / (accel_config.mu * accel_config.nu) ** 0.5
+            self.alpha = 1 / (1 + self.gamma * accel_config.nu)
+        self.state = SAPState(W=W0, V=W0, Y=W0, key=_as_key(key))
+        self._chunk_fn = self._build_chunk_fn()
+
+    @property
+    def W(self):
+        return self.state.W
+
+    # -- per-step pieces (traced) -------------------------------------------
+    def _blk_mm(self, blk, X):
+        op = self.system.A_blk_oracle(blk)
+        return op @ X if isinstance(op, LinOp) else op @ X
+
+    def _row_mm(self, blk, X):
+        op = self.system.A_row_oracle(blk)
+        return op @ X if isinstance(op, LinOp) else op @ X
+
+    def _get_precond(self, blk, key, dtype):
+        """Build the block preconditioner state; returns (apply_inv, exact)."""
+        reg = self.system.reg
+        cfg = self.precond_config
+        if isinstance(cfg, IdentityConfig):
+            return (lambda x: x), False
+        if isinstance(cfg, NewtonConfig):
+            A_blk = self._blk_mm(blk, jnp.eye(self.blk_sz, dtype=dtype))
+            L = newton_update(A_blk, cfg.rho)
+            exact = cfg.rho == reg
+            return (lambda x: newton_apply_inv(L, x)), exact
+        # Nyström
+        f = nystrom_update(
+            lambda X: self._blk_mm(blk, X), self.blk_sz, cfg.rank, cfg.sketch,
+            key, dtype,
+        )
+        if cfg.damping_mode == _DampingMode.ADAPTIVE:
+            rho = reg + f.S[-1]
+        else:
+            rho = jnp.asarray(cfg.rho, dtype)
+        low_precision = jnp.dtype(dtype) != jnp.dtype(jnp.float64)
+        L = nystrom_inv_chol(f.U, f.S, rho) if low_precision else None
+        return (lambda x: nystrom_apply_inv(f, rho, x, L)), False
+
+    def _get_stepsize(self, blk, apply_inv, exact, key, dtype):
+        if exact:
+            return jnp.asarray(1.0, dtype)
+        reg = jnp.asarray(self.system.reg, dtype)
+
+        def mv(v):
+            return apply_inv(self._blk_mm(blk, v) + reg * v)
+
+        S_op = LinOp((self.blk_sz, self.blk_sz), matvec=mv, dtype=dtype)
+        max_eig, _ = randomized_powering(
+            S_op, max_iters=self.power_iters, key=key
+        )
+        return 1.0 / max_eig
+
+    def _step_fn(self, state: SAPState, mask) -> SAPState:
+        dtype = state.W.dtype
+        n = self.system.A.shape[0]
+        reg = jnp.asarray(self.system.reg, dtype)
+        B = self.system.B
+        key, k_blk, k_prec, k_pow = jax.random.split(state.key, 4)
+
+        blk = jax.random.choice(k_blk, n, (self.blk_sz,), replace=False)
+        apply_inv, exact = self._get_precond(blk, k_prec, dtype)
+        stepsize = self._get_stepsize(blk, apply_inv, exact, k_pow, dtype)
+
+        eval_pt = state.Y if self.accel else state.W
+        grad = self._row_mm(blk, eval_pt) + reg * eval_pt[blk] - B[blk]
+        direction = apply_inv(grad)
+
+        mcol = mask[None, :]
+        if self.accel:
+            Wc = state.Y.at[blk].add(-stepsize * direction)
+            W = jnp.where(mcol, Wc, state.W)
+            Vc = (self.beta * state.V + (1 - self.beta) * state.Y).at[blk].add(
+                -stepsize * self.gamma * direction
+            )
+            V = jnp.where(mcol, Vc, state.V)
+            Yc = self.alpha * V + (1 - self.alpha) * W
+            Y = jnp.where(mcol, Yc, state.Y)
+            return SAPState(W=W, V=V, Y=Y, key=key)
+        Wc = state.W.at[blk].add(-stepsize * direction)
+        W = jnp.where(mcol, Wc, state.W)
+        return SAPState(W=W, V=W, Y=W, key=key)
+
+    def _build_chunk_fn(self):
+        @partial(jax.jit, static_argnames=("n_steps",))
+        def chunk(state, mask, n_steps):
+            def body(s, _):
+                return self._step_fn(s, mask), None
+
+            state, _ = jax.lax.scan(body, state, None, length=n_steps)
+            return state
+
+        return chunk
+
+    def _step(self):
+        self._run_chunk(1)
+
+    def _run_chunk(self, n_steps: int):
+        self.state = self._chunk_fn(self.state, self.system.mask, n_steps)

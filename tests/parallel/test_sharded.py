@@ -1,0 +1,168 @@
+"""Sharded operator tests on the virtual 8-device CPU mesh.
+
+Mirrors the reference's multi-device-without-a-cluster strategy (SURVEY §4.4):
+the REAL sharded code paths (shard_map + collectives) run on 8 virtual XLA
+CPU devices.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rlaopt_tpu.kernels import (
+    KernelConfig,
+    ShardedRBFLinOp,
+    DistributedRBFLinOp,
+    ShardedMatern32LinOp,
+)
+from rlaopt_tpu.linops import ShardedLinOp, DistributedSymmetricLinOp
+from rlaopt_tpu.models import LinSys
+from rlaopt_tpu.parallel import make_mesh
+from rlaopt_tpu.preconditioners import NystromConfig
+from rlaopt_tpu.solvers import PCGConfig, SAPConfig, SAPAccelConfig
+
+from ..kernels.utils import compute_kernel_matrix
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+    return make_mesh()
+
+
+class TestShardedDenseLinOp:
+    @pytest.mark.parametrize("mode", ["row", "column"])
+    @pytest.mark.parametrize("n,m", [(64, 40), (61, 37)])  # even and ragged
+    def test_matvec_semantics(self, key, dtype, tol, mesh, mode, n, m):
+        M = jax.random.normal(key, (n, m), dtype=dtype)
+        A = ShardedLinOp.from_dense(M, mesh, mode=mode)
+        x = jnp.ones((m,), dtype)
+        X = jnp.ones((m, 3), dtype)
+        y = jnp.ones((n,), dtype)
+        Y = jnp.ones((4, n), dtype)
+        rt = 100 * tol
+        assert np.allclose(A @ x, M @ x, rtol=rt, atol=rt)
+        assert np.allclose(A @ X, M @ X, rtol=rt, atol=rt)
+        assert np.allclose(y @ A, y @ M, rtol=rt, atol=rt)
+        assert np.allclose(Y @ A, Y @ M, rtol=rt, atol=rt)
+        # transpose flips mode
+        At = A.T
+        assert At.shape == (m, n)
+        assert np.allclose(At @ y, M.T @ y, rtol=rt, atol=rt)
+        assert np.allclose(x @ At, x @ M.T, rtol=rt, atol=rt)
+
+    def test_symmetric_alias(self, key, dtype, mesh):
+        n = 32
+        G = jax.random.normal(key, (n, n), dtype=dtype)
+        S = G + G.T
+        A = DistributedSymmetricLinOp.from_dense(S, mesh, mode="row")
+        assert A.T is A
+        A.shutdown()  # no-op parity API
+
+
+class TestShardedKernelLinOp:
+    def test_matvec_vs_oracle(self, key, dtype, tol, mesh):
+        n, m, d = 41, 29, 4  # ragged on purpose
+        k1, k2 = jax.random.split(key)
+        X1 = jax.random.normal(k1, (n, d), dtype=dtype)
+        X2 = jax.random.normal(k2, (m, d), dtype=dtype)
+        cfg = KernelConfig(const_scaling=1.5, lengthscale=0.8)
+        A = ShardedRBFLinOp(X1, X2, cfg, mesh=mesh)
+        K = compute_kernel_matrix("rbf", X1, X2, 0.8, const_scaling=1.5)
+        rt = 1e3 * tol
+        v = np.linspace(-1, 1, m)
+        V = np.ones((m, 3))
+        y = np.ones(n)
+        assert np.allclose(A @ jnp.asarray(v, dtype), K @ v, rtol=rt, atol=rt)
+        assert np.allclose(A @ jnp.asarray(V, dtype), K @ V, rtol=rt, atol=rt)
+        assert np.allclose(jnp.asarray(y, dtype) @ A, y @ K, rtol=rt, atol=rt)
+        assert np.allclose(
+            A.T @ jnp.asarray(y, dtype), K.T @ y, rtol=rt, atol=rt
+        )
+        assert DistributedRBFLinOp is ShardedRBFLinOp
+
+    def test_oracles(self, key, dtype, tol, mesh):
+        n, d = 40, 3
+        X = jax.random.normal(key, (n, d), dtype=dtype)
+        cfg = KernelConfig(lengthscale=1.2)
+        A = ShardedMatern32LinOp(X, X, cfg, mesh=mesh)
+        K = compute_kernel_matrix("matern32", X, X, 1.2)
+        blk = jnp.asarray([2, 9, 17, 33])
+        rt = 1e3 * tol
+        row = A.row_oracle(blk)
+        W = np.ones((n, 2))
+        assert row.shape == (4, n)
+        assert np.allclose(
+            row @ jnp.asarray(W, dtype),
+            K[np.asarray(blk)] @ W,
+            rtol=rt,
+            atol=rt,
+        )
+        blkop = A.blk_oracle(blk)
+        got = blkop @ jnp.ones((4,), dtype)
+        want = K[np.ix_(np.asarray(blk), np.asarray(blk))] @ np.ones(4)
+        assert np.allclose(got, want, rtol=rt, atol=rt)
+
+    def test_oracle_only_mode(self, key, dtype, mesh):
+        n, d = 24, 3
+        X = jax.random.normal(key, (n, d), dtype=dtype)
+        A = ShardedRBFLinOp(
+            X, X, KernelConfig(lengthscale=1.0), mesh=mesh,
+            use_full_kernel=False,
+        )
+        with pytest.raises(RuntimeError):
+            A @ jnp.ones((n,), dtype)
+        # oracles still work
+        _ = A.row_oracle(jnp.asarray([0, 5])) @ jnp.ones((n,), dtype)
+
+
+class TestShardedEndToEnd:
+    def test_pcg_krr_sharded(self, key, mesh):
+        """Sharded RBF KRR solved with Nyström-PCG (f64 exactness check)."""
+        n, d, k = 96, 3, 2
+        kx, kb = jax.random.split(key)
+        X = jax.random.normal(kx, (n, d), dtype=jnp.float64)
+        B = jax.random.normal(kb, (n, k), dtype=jnp.float64)
+        reg = 1e-4
+        cfg = KernelConfig(lengthscale=1.0)
+        A = ShardedRBFLinOp(X, X, cfg, mesh=mesh)
+        sys_ = LinSys(A, B, reg=reg)
+        W, log = sys_.solve(
+            PCGConfig(
+                max_iters=300, rtol=1e-9,
+                precond_config=NystromConfig(rank=60, rho=reg),
+            ),
+            jnp.zeros_like(B),
+            key=key,
+        )
+        K = compute_kernel_matrix("rbf", X, X, 1.0)
+        W_true = np.linalg.solve(K + reg * np.eye(n), np.asarray(B))
+        assert np.linalg.norm(W - W_true) / np.linalg.norm(W_true) < 1e-6
+
+    def test_sap_krr_sharded(self, key, mesh):
+        """Sharded KRR via SAP block-coordinate with distributed oracles."""
+        n, d, k = 64, 3, 2
+        kx, kb = jax.random.split(key)
+        X = jax.random.normal(kx, (n, d), dtype=jnp.float64)
+        B = jax.random.normal(kb, (n, k), dtype=jnp.float64)
+        reg = 1e-2
+        A = ShardedRBFLinOp(X, X, KernelConfig(lengthscale=1.0), mesh=mesh)
+        sys_ = LinSys(
+            A, B, reg=reg, A_row_oracle=A.row_oracle, A_blk_oracle=A.blk_oracle
+        )
+        W, log = sys_.solve(
+            SAPConfig(
+                max_iters=400, rtol=1e-4, blk_sz=16,
+                precond_config=NystromConfig(rank=16, rho=reg),
+                accel=True, accel_config=SAPAccelConfig(mu=0.05, nu=4.0),
+            ),
+            jnp.zeros_like(B),
+            callback_freq=50,
+            key=key,
+        )
+        it = max(log.keys())
+        rel = float(
+            jnp.max(log[it]["metrics"]["internal_metrics"]["rel_res"])
+        )
+        assert rel < 1e-3

@@ -1,0 +1,198 @@
+"""End-to-end slice: LinSys + PCG (+ preconditioners) on synthetic SPD systems.
+
+Mirrors BASELINE config #1 (Nyström-PCG on an ill-conditioned SPD system) and
+the reference experiment scale patterns (eigenvalues i^-2, reg=1e-6,
+``experiments/distributed_linsys_solve_test.py:28-42``) at test size.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rlaopt_tpu.linops import SymmetricLinOp, aslinop
+from rlaopt_tpu.models import LinSys
+from rlaopt_tpu.preconditioners import (
+    IdentityConfig,
+    NewtonConfig,
+    NystromConfig,
+)
+from rlaopt_tpu.solvers import PCGConfig
+
+
+def make_spd_system(key, n, k, dtype, cond_exp=2.0):
+    """SPD matrix with eigenvalues i^-cond_exp, plus RHS."""
+    kq, kb = jax.random.split(key)
+    Q, _ = jnp.linalg.qr(jax.random.normal(kq, (n, n), dtype=dtype))
+    eigs = jnp.arange(1, n + 1, dtype=dtype) ** -cond_exp
+    A = (Q * eigs) @ Q.T
+    A = (A + A.T) / 2
+    B = jax.random.normal(kb, (n, k), dtype=dtype)
+    return A, B
+
+
+def final_rel_res(log):
+    last = log[max(log.keys())]
+    return jnp.max(last["metrics"]["internal_metrics"]["rel_res"])
+
+
+class TestPCGLinSys:
+    @pytest.mark.parametrize(
+        "precond",
+        ["identity", "newton", "nystrom"],
+    )
+    def test_converges_dense_f64(self, key, precond):
+        n, k = 200, 3
+        A, B = make_spd_system(key, n, k, jnp.float64)
+        reg = 1e-6
+        sys = LinSys(A, B, reg=reg)
+        pc = {
+            "identity": IdentityConfig(),
+            "newton": NewtonConfig(rho=reg),
+            "nystrom": NystromConfig(rank=80, rho=reg),
+        }[precond]
+        cfg = PCGConfig(max_iters=500, rtol=1e-8, atol=0.0, precond_config=pc)
+        W, log = sys.solve(cfg, jnp.zeros_like(B), key=key)
+        assert final_rel_res(log) < 1e-7
+        # true solution check
+        W_true = jnp.linalg.solve(A + reg * jnp.eye(n, dtype=A.dtype), B)
+        assert jnp.linalg.norm(W - W_true) / jnp.linalg.norm(W_true) < 1e-5
+
+    def test_converges_f32_nystrom(self, key):
+        n, k = 150, 2
+        A, B = make_spd_system(key, n, k, jnp.float32, cond_exp=1.0)
+        reg = 1e-4
+        sys = LinSys(A, B, reg=reg)
+        cfg = PCGConfig(
+            max_iters=300,
+            rtol=1e-5,
+            precond_config=NystromConfig(rank=60, rho=reg),
+        )
+        W, log = sys.solve(cfg, jnp.zeros_like(B), key=key)
+        assert final_rel_res(log) < 1e-4
+
+    def test_through_linop(self, key):
+        n, k = 100, 2
+        A, B = make_spd_system(key, n, k, jnp.float64)
+        op = SymmetricLinOp(A.shape, matvec=lambda v: A @ v, dtype=A.dtype)
+        sys = LinSys(op, B, reg=1e-6)
+        cfg = PCGConfig(max_iters=300, rtol=1e-8)
+        W, log = sys.solve(cfg, jnp.zeros_like(B), key=key)
+        assert final_rel_res(log) < 1e-7
+
+    def test_1d_rhs_promoted(self, key):
+        n = 50
+        A, B = make_spd_system(key, n, 1, jnp.float64)
+        sys = LinSys(A, B[:, 0], reg=1e-6)
+        assert sys.B.shape == (n, 1)
+        cfg = PCGConfig(max_iters=200, rtol=1e-8)
+        W, log = sys.solve(cfg, jnp.zeros((n, 1), dtype=A.dtype), key=key)
+        assert final_rel_res(log) < 1e-7
+
+    def test_nystrom_preconditioning_accelerates(self, key):
+        """Nyström-PCG needs far fewer iterations than plain CG on an
+        ill-conditioned system (the point of the preconditioner)."""
+        n, k = 300, 2
+        A, B = make_spd_system(key, n, k, jnp.float64, cond_exp=2.0)
+        reg = 1e-8
+
+        def iters_to_converge(pc):
+            sys = LinSys(A, B, reg=reg)
+            cfg = PCGConfig(
+                max_iters=400, rtol=1e-6, precond_config=pc
+            )
+            _, log = sys.solve(
+                cfg, jnp.zeros_like(B), callback_freq=5, key=key
+            )
+            return max(log.keys())
+
+        it_nys = iters_to_converge(NystromConfig(rank=150, rho=reg))
+        it_id = iters_to_converge(IdentityConfig())
+        assert it_nys < it_id
+
+    def test_callback_and_log_structure(self, key):
+        n = 60
+        A, B = make_spd_system(key, n, 1, jnp.float64)
+        sys = LinSys(A, B, reg=1e-6)
+        cfg = PCGConfig(max_iters=50, rtol=1e-10)
+        seen = []
+
+        def cb(w, model, tag):
+            seen.append(tag)
+            return {"wnorm": float(jnp.linalg.norm(w))}
+
+        W, log = sys.solve(
+            cfg,
+            jnp.zeros_like(B),
+            callback_fn=cb,
+            callback_args=["t"],
+            callback_freq=10,
+            key=key,
+        )
+        assert all(t == "t" for t in seen)
+        for i, entry in log.items():
+            assert i % 10 == 0
+            assert "iter_time" in entry and "cum_time" in entry
+            assert "callback" in entry["metrics"]
+            assert "internal_metrics" in entry["metrics"]
+
+    def test_validation_errors(self, key):
+        n = 10
+        A, B = make_spd_system(key, n, 1, jnp.float64)
+        with pytest.raises(TypeError):
+            LinSys("A", B)
+        with pytest.raises(ValueError):
+            LinSys(A, B, reg=-1.0)
+        with pytest.raises(ValueError):
+            LinSys(A, B, A_row_oracle=lambda b: None)  # missing blk oracle
+        sys = LinSys(A, B)
+        with pytest.raises(TypeError):
+            sys.solve("not a config", B)
+        with pytest.raises(ValueError):
+            sys.solve(
+                PCGConfig(), jnp.zeros_like(B), log_in_wandb=True,
+            )
+
+    def test_early_termination_at_zero(self, key):
+        """If W_init already solves the system, no iterations run."""
+        n = 40
+        A, B = make_spd_system(key, n, 1, jnp.float64)
+        reg = 1e-6
+        W_true = jnp.linalg.solve(A + reg * jnp.eye(n, dtype=A.dtype), B)
+        sys = LinSys(A, B, reg=reg)
+        cfg = PCGConfig(max_iters=100, rtol=1e-5)
+        W, log = sys.solve(cfg, W_true, key=key)
+        assert list(log.keys()) == [0]
+
+    def test_per_column_masking_freezes_converged(self, key):
+        """One easy column + one hard column: after the easy column's
+        convergence its iterates must stay frozen while the hard one keeps
+        improving."""
+        n = 80
+        A, _ = make_spd_system(key, n, 1, jnp.float64)
+        reg = 1e-6
+        W_easy = jax.random.normal(jax.random.fold_in(key, 1), (n,))
+        b_easy = A @ W_easy + reg * W_easy
+        b_hard = jax.random.normal(jax.random.fold_in(key, 2), (n,)) * 100
+        B = jnp.stack([b_easy, b_hard], axis=1)
+        sys = LinSys(A, B, reg=reg)
+        cfg = PCGConfig(max_iters=200, rtol=1e-4)
+
+        snapshots = []
+
+        def cb(w, model):
+            snapshots.append(w[:, 0].copy())
+            return {}
+
+        sys.solve(cfg, jnp.zeros_like(B), callback_fn=cb, callback_freq=5, key=key)
+        # find first snapshot where easy column converged
+        res = [
+            float(jnp.linalg.norm(b_easy - (A @ w + reg * w))) for w in snapshots
+        ]
+        tol = 1e-4 * float(jnp.linalg.norm(b_easy))
+        conv_idx = [i for i, r in enumerate(res) if r <= tol]
+        assert conv_idx, "easy column never converged"
+        # all later snapshots identical to the first converged one (frozen),
+        # allowing one extra chunk for the mask to update
+        first = conv_idx[0] + 1
+        for later in range(first + 1, len(snapshots)):
+            assert jnp.array_equal(snapshots[first], snapshots[later])

@@ -1,0 +1,114 @@
+"""SAP / ASkotch solver tests (dense and kernel-oracle problems)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rlaopt_tpu.kernels import KernelConfig, RBFLinOp
+from rlaopt_tpu.linops import aslinop
+from rlaopt_tpu.models import LinSys
+from rlaopt_tpu.preconditioners import (
+    IdentityConfig,
+    NewtonConfig,
+    NystromConfig,
+    SkPreConfig,
+)
+from rlaopt_tpu.solvers import SAPConfig, SAPAccelConfig
+
+
+@pytest.fixture
+def krr_problem(key):
+    n, d, k = 64, 3, 2
+    kx, kb = jax.random.split(key)
+    X = jax.random.normal(kx, (n, d), dtype=jnp.float64)
+    K = jnp.exp(-0.5 * ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1))
+    B = jax.random.normal(kb, (n, k), dtype=jnp.float64)
+    reg = 1e-2
+    W_true = jnp.linalg.solve(K + reg * jnp.eye(n), B)
+    return X, K, B, reg, W_true
+
+
+def dense_oracles(K):
+    return (lambda blk: aslinop(K[blk, :])), (lambda blk: aslinop(K[blk][:, blk]))
+
+
+class TestSAP:
+    def test_newton_exact_converges(self, krr_problem, key):
+        X, K, B, reg, W_true = krr_problem
+        row, blk = dense_oracles(K)
+        sys_ = LinSys(K, B, reg=reg, A_row_oracle=row, A_blk_oracle=blk)
+        cfg = SAPConfig(
+            max_iters=600, rtol=1e-6, blk_sz=16,
+            precond_config=NewtonConfig(rho=reg), accel=False,
+        )
+        W, log = sys_.solve(cfg, jnp.zeros_like(B), callback_freq=100, key=key)
+        err = float(jnp.linalg.norm(W - W_true) / jnp.linalg.norm(W_true))
+        assert err < 1e-5
+
+    def test_nystrom_accel_converges(self, krr_problem, key):
+        X, K, B, reg, W_true = krr_problem
+        row, blk = dense_oracles(K)
+        sys_ = LinSys(K, B, reg=reg, A_row_oracle=row, A_blk_oracle=blk)
+        cfg = SAPConfig(
+            max_iters=500, rtol=1e-5, blk_sz=16,
+            precond_config=NystromConfig(rank=16, rho=reg),
+            accel=True, accel_config=SAPAccelConfig(mu=0.05, nu=4.0),
+        )
+        W, log = sys_.solve(cfg, jnp.zeros_like(B), callback_freq=100, key=key)
+        it = max(log.keys())
+        rel = float(jnp.max(log[it]["metrics"]["internal_metrics"]["rel_res"]))
+        assert rel < 1e-3
+
+    def test_kernel_linop_oracles(self, krr_problem, key):
+        """SAP through the matrix-free RBF operator's own oracles (the
+        ASkotch-for-KRR configuration) — oracles traced inside lax.scan."""
+        X, K, B, reg, W_true = krr_problem
+        A = RBFLinOp(X, X, KernelConfig(lengthscale=1.0))
+        sys_ = LinSys(
+            A, B, reg=reg, A_row_oracle=A.row_oracle, A_blk_oracle=A.blk_oracle
+        )
+        cfg = SAPConfig(
+            max_iters=400, rtol=1e-5, blk_sz=16,
+            precond_config=NewtonConfig(rho=reg), accel=False,
+        )
+        W, log = sys_.solve(cfg, jnp.zeros_like(B), callback_freq=100, key=key)
+        err = float(jnp.linalg.norm(W - W_true) / jnp.linalg.norm(W_true))
+        assert err < 1e-4
+
+    def test_identity_precond_runs(self, krr_problem, key):
+        X, K, B, reg, W_true = krr_problem
+        row, blk = dense_oracles(K)
+        sys_ = LinSys(K, B, reg=reg, A_row_oracle=row, A_blk_oracle=blk)
+        cfg = SAPConfig(
+            max_iters=50, rtol=1e-5, blk_sz=16,
+            precond_config=IdentityConfig(), accel=False,
+        )
+        W, log = sys_.solve(cfg, jnp.zeros_like(B), callback_freq=25, key=key)
+        assert jnp.all(jnp.isfinite(W))
+
+    def test_invalid_precond_rejected(self, krr_problem, key):
+        X, K, B, reg, _ = krr_problem
+        row, blk = dense_oracles(K)
+        sys_ = LinSys(K, B, reg=reg, A_row_oracle=row, A_blk_oracle=blk)
+        cfg = SAPConfig(
+            max_iters=10, blk_sz=8,
+            precond_config=SkPreConfig(sketch_size=8, rho=1e-2), accel=False,
+        )
+        with pytest.raises(TypeError):
+            sys_.solve(cfg, jnp.zeros_like(B), key=key)
+
+    def test_requires_oracles(self, krr_problem, key):
+        X, K, B, reg, _ = krr_problem
+        sys_ = LinSys(K, B, reg=reg)  # no oracles
+        cfg = SAPConfig(max_iters=10, blk_sz=8, accel=False)
+        with pytest.raises(ValueError):
+            sys_.solve(cfg, jnp.zeros_like(B), key=key)
+
+    def test_accel_config_validation(self):
+        with pytest.raises(ValueError):
+            SAPAccelConfig(mu=2.0, nu=1.0)  # mu > nu
+        with pytest.raises(ValueError):
+            SAPAccelConfig(mu=0.9, nu=2.0)  # mu*nu > 1
+        with pytest.raises(ValueError):
+            SAPConfig(max_iters=10, blk_sz=8, accel=True)  # missing accel cfg
