@@ -21,5 +21,6 @@ from . import preconditioners  # noqa: F401
 from . import spectral_estimators  # noqa: F401
 from . import solvers  # noqa: F401
 from . import models  # noqa: F401
+from . import sparse  # noqa: F401
 
 from .utils.rng import seed  # noqa: F401

@@ -1,0 +1,21 @@
+"""Sparse CSR/CSC tensors with native CPU kernels + TPU XLA formulations."""
+
+from .sparse_tensor import SparseCSRTensor, _SparseTensor, _Layout  # noqa: F401
+from .ops import (  # noqa: F401
+    csc_matmat,
+    csc_matvec,
+    csr_matmat,
+    csr_matvec,
+    gather_rows,
+)
+from .native import native_available  # noqa: F401
+
+__all__ = [
+    "SparseCSRTensor",
+    "csr_matvec",
+    "csr_matmat",
+    "csc_matvec",
+    "csc_matmat",
+    "gather_rows",
+    "native_available",
+]
