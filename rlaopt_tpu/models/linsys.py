@@ -139,11 +139,16 @@ class LinSys(Model):
         log_in_wandb: bool = False,
         wandb_init_kwargs: Optional[dict] = None,
         key=None,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_freq: Optional[int] = None,
+        resume: bool = False,
     ):
         """Solve the system; returns ``(solution, log)``.
 
         ``key`` seeds randomized components (preconditioner sketches, SAP
         block sampling); None draws from the package-global chain.
+        ``checkpoint_dir``/``checkpoint_freq``/``resume`` enable solver-state
+        checkpointing (every ``checkpoint_freq`` logging rounds).
         """
         _is_solver_config(solver_config, "solver_config")
         _is_array(W_init, "W_init")
@@ -177,10 +182,19 @@ class LinSys(Model):
             key=_as_key(key),
         )
 
+        checkpointer = None
+        if checkpoint_dir is not None:
+            from ..utils.checkpoint import SolveCheckpointer
+
+            checkpointer = SolveCheckpointer(checkpoint_dir)
+
         solution, log = self._train(
             logger=logger,
             termination_fn=termination_fn,
             solver=solver,
             max_iters=solver_config.max_iters,
+            checkpointer=checkpointer,
+            checkpoint_freq=checkpoint_freq or 1,
+            resume=resume,
         )
         return solution, log

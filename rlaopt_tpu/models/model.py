@@ -94,23 +94,49 @@ class Model(ABC):
         termination_fn: Callable,
         solver: Solver,
         max_iters: int,
+        checkpointer=None,
+        checkpoint_freq: Optional[int] = None,
+        resume: bool = False,
     ):
-        """Run the solve loop in chunks of ``logger.log_freq`` iterations."""
+        """Run the solve loop in chunks of ``logger.log_freq`` iterations.
+
+        Checkpoint/resume (TPU addition; the reference has none): with a
+        ``checkpointer``, (solver state, mask) is saved every
+        ``checkpoint_freq`` logging rounds; ``resume=True`` restores the
+        latest checkpoint and continues from its iteration.
+        """
         log = {}
 
-        log[0] = logger._compute_log(0, solver.W)
-        if termination_fn(log[0]["metrics"]["internal_metrics"]):
+        i = 0
+        if checkpointer is not None and resume:
+            payload, step = checkpointer.restore(
+                like={"state": solver.state, "mask": self._mask}
+            )
+            solver.state = payload["state"]
+            self._mask = payload["mask"]
+            i = step
+
+        log[i] = logger._compute_log(0, solver.W)
+        if termination_fn(log[i]["metrics"]["internal_metrics"]):
             return solver.W, log
 
-        i = 0
+        rounds = 0
         while i < max_iters:
             n_steps = min(logger.log_freq, max_iters - i)
             solver._run_chunk(n_steps)
             i += n_steps
+            rounds += 1
             log_i = logger._compute_log(i, solver.W)
             if log_i is not None:
                 log[i] = log_i
-                if termination_fn(log_i["metrics"]["internal_metrics"]):
+                converged = termination_fn(log_i["metrics"]["internal_metrics"])
+                if checkpointer is not None and checkpoint_freq and (
+                    rounds % checkpoint_freq == 0 or converged
+                ):
+                    checkpointer.save(
+                        i, {"state": solver.state, "mask": self._mask}
+                    )
+                if converged:
                     break
 
         logger._terminate()

@@ -39,33 +39,37 @@ _SQRT3 = 3.0**0.5
 _SQRT5 = 5.0**0.5
 
 
-def _tile_formula(kind, xi, xj, compute_dtype):
-    """Evaluate the kernel tile k(xi, xj) for one (TM, TN) block."""
+def _tile_formula(kind, xi, xjT, compute_dtype):
+    """Evaluate the kernel tile k(xi, xj) for one (TM, TN) block.
+
+    ``xjT`` is the column-tile in (d, TN) orientation so the cross term is a
+    natural (TM, d) @ (d, TN) MXU matmul — no per-tile transpose.
+    """
     f32 = jnp.float32
     if kind == "laplace":
         d = xi.shape[1]
-        tm, tn = xi.shape[0], xj.shape[0]
+        tm, tn = xi.shape[0], xjT.shape[1]
 
         def body(f, acc):
             col_i = lax.dynamic_slice_in_dim(xi, f, 1, axis=1)  # (TM, 1)
-            col_j = lax.dynamic_slice_in_dim(xj, f, 1, axis=1)  # (TN, 1)
-            return acc + jnp.abs(col_i - col_j.reshape(1, tn))
+            row_j = lax.dynamic_slice_in_dim(xjT, f, 1, axis=0)  # (1, TN)
+            return acc + jnp.abs(col_i - row_j)
 
         l1 = lax.fori_loop(0, d, body, jnp.zeros((tm, tn), dtype=f32))
         return jnp.exp(-l1)
 
     xn = jnp.sum(xi.astype(f32) ** 2, axis=1, keepdims=True)  # (TM, 1)
-    yn = jnp.sum(xj.astype(f32) ** 2, axis=1, keepdims=True)  # (TN, 1)
+    yn = jnp.sum(xjT.astype(f32) ** 2, axis=0, keepdims=True)  # (1, TN)
     if compute_dtype is not None:
         xi = xi.astype(compute_dtype)
-        xj = xj.astype(compute_dtype)
+        xjT = xjT.astype(compute_dtype)
     cross = jax.lax.dot_general(
         xi,
-        xj,
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        xjT,
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=f32,
     )  # (TM, TN)
-    d2 = jnp.maximum(xn + yn.reshape(1, -1) - 2.0 * cross, 0.0)
+    d2 = jnp.maximum(xn + yn - 2.0 * cross, 0.0)
     if kind == "rbf":
         return jnp.exp(-0.5 * d2)
     r = jnp.sqrt(d2)
@@ -147,6 +151,7 @@ def kernel_matmat_pallas(
 
     Xs = _pad_axis(_pad_axis(Xs, tile_m, 0), 128, 1)
     Ys = _pad_axis(_pad_axis(Ys, tile_n, 0), 128, 1)
+    YsT = Ys.T  # (d_p, m_p): natural MXU orientation for the cross matmul
     Vp = _pad_axis(_pad_axis(V, tile_n, 0), 8, 1)
     n_p, d_p = Xs.shape
     m_p = Ys.shape[0]
@@ -166,7 +171,7 @@ def kernel_matmat_pallas(
         grid=(ni, nj),
         in_specs=[
             pl.BlockSpec((tile_m, d_p), lambda i, j: (i, 0)),
-            pl.BlockSpec((tile_n, d_p), lambda i, j: (j, 0)),
+            pl.BlockSpec((d_p, tile_n), lambda i, j: (0, j)),
             pl.BlockSpec((tile_n, k_p), lambda i, j: (j, 0)),
         ],
         out_specs=pl.BlockSpec((tile_m, k_p), lambda i, j: (i, 0)),
@@ -181,7 +186,7 @@ def kernel_matmat_pallas(
             transcendentals=n_p * m_p,
         ),
         interpret=interpret,
-    )(Xs, Ys, Vp)
+    )(Xs, YsT, Vp)
 
     out = out[:n, :k] * jnp.asarray(const_scaling, V.dtype)
     return out[:, 0] if squeeze else out

@@ -12,6 +12,7 @@ from .configs import (  # noqa: F401
 from .solver import Solver  # noqa: F401
 from .pcg import PCG, PCGState, pcg_init, pcg_step  # noqa: F401
 from .sap import SAP, SAPState  # noqa: F401
+from .lsqr import LSQR, LSQRState  # noqa: F401
 from .factory import _get_solver  # noqa: F401
 
 __all__ = [
@@ -30,4 +31,6 @@ __all__ = [
     "pcg_step",
     "SAP",
     "SAPState",
+    "LSQR",
+    "LSQRState",
 ]
