@@ -5,10 +5,11 @@ from .logger import *  # noqa: F401,F403
 from .rng import *  # noqa: F401,F403
 from .wandb_ import *  # noqa: F401,F403
 from .profiling import *  # noqa: F401,F403
+from .checkpoint import *  # noqa: F401,F403
 
-from . import checkers, logger, rng, wandb_, profiling
+from . import checkers, logger, rng, wandb_, profiling, checkpoint
 
 __all__ = []
-for _m in (checkers, logger, rng, wandb_, profiling):
+for _m in (checkers, logger, rng, wandb_, profiling, checkpoint):
     if hasattr(_m, "__all__"):
         __all__.extend(_m.__all__)
