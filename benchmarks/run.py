@@ -35,7 +35,7 @@ def config1_nystrom_pcg_cpu():
     from rlaopt_tpu.solvers import PCGConfig
 
     cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
+    with jax.experimental.enable_x64(), jax.default_device(cpu):
         n, rank = 4096, 200
         key = jax.random.PRNGKey(0)
         kq, kb = jax.random.split(key)
@@ -112,12 +112,12 @@ def config3_krr_pcg():
     K = RBFLinOp(X, X, KernelConfig(lengthscale=28.0**0.5))
     sys_ = LinSys(K, y, reg=float(reg))
     cfg = PCGConfig(
-        max_iters=100, rtol=1e-6,
-        precond_config=NystromConfig(rank=200, rho=float(reg)),
+        max_iters=200, rtol=1e-6,
+        precond_config=NystromConfig(rank=500, rho=float(reg)),
     )
     t0 = time.perf_counter()
     W, log = sys_.solve(
-        cfg, jnp.zeros((n, 1), dtype=jnp.float32), callback_freq=10, key=key
+        cfg, jnp.zeros((n, 1), dtype=jnp.float32), callback_freq=20, key=key
     )
     _sync(W)
     wall = time.perf_counter() - t0

@@ -190,12 +190,52 @@ class ShardedKernelLinOp(ShardedLinOp):
             scale=self._scale,
         )
 
-    def blk_oracle(self, blk: jax.Array) -> KernelLinOp:
-        """K[blk, blk], computed replicated (block ≪ full operator)."""
+    def blk_oracle(self, blk: jax.Array) -> ShardedLinOp:
+        """K[blk, blk] as a row-distributed operator over the mesh.
+
+        The block of points is gathered (small), then the block Gram matvec
+        is row-partitioned across devices via shard_map — the analog of the
+        reference's blk-chunked distribution (``kernels/base.py:449-505``).
+        Traceable inside jitted solver loops (static block size).
+        """
         x1b = self._gather_rows_A1(blk)
         x2b = self._gather_rows_A2(blk)
-        op = KernelLinOp(x1b, x2b, self._kernel_config, self.kind, self.impl)
-        return op
+        b = x1b.shape[0]
+        ndev = self.mesh.shape[self.axis]
+        b_pad = -(-b // ndev) * ndev
+        if b_pad != b:
+            x1b_s = jnp.pad(x1b, ((0, b_pad - b), (0, 0)))
+        else:
+            x1b_s = x1b
+        kind, impl, axis = self.kind, self.impl, self.axis
+
+        data = {"Xb_s": x1b_s, "Xb": x2b, "ls": self._data["ls"]}
+        specs = {"Xb_s": P(axis, None), "Xb": P(), "ls": P()}
+
+        def mv(dd, v):
+            # local rows of K[blk, blk] @ v
+            return kernel_matmat(
+                kind, dd["Xb_s"], dd["Xb"], v, dd["ls"], impl=impl
+            )
+
+        def rmv(dd, y_loc):
+            return kernel_matmat(
+                kind, dd["Xb"], dd["Xb_s"], y_loc, dd["ls"], impl=impl
+            )
+
+        return ShardedLinOp(
+            shape=(b, b),
+            matvec=mv,
+            rmatvec=rmv,
+            mesh=self.mesh,
+            data=data,
+            data_specs=specs,
+            mode="row",
+            axis=axis,
+            dtype=self.dtype,
+            padded_shape=(b_pad, b),
+            scale=self._scale,
+        )
 
     def shutdown(self):
         """No-op (reference clears per-process KeOps caches and kills workers)."""

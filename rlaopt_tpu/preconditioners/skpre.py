@@ -13,8 +13,7 @@ import jax.numpy as jnp
 
 from .base import Preconditioner
 from .configs import SkPreConfig
-from ..linops.base import LinOp
-from ..sketches.embeddings import left_embedding
+from ..sketches.embeddings import sketch_apply_left
 from ..utils.checkers import _as_key
 from ..utils.linalg import hmm, solve_tri_lower, solve_tri_upper
 
@@ -65,12 +64,11 @@ class SkPre(Preconditioner):
                 "This may lead to a poor and/or unstable approximation."
             )
         dtype = jnp.dtype(A.dtype)
-        Omega = left_embedding(
-            self.config.sketch, _as_key(key), self.config.sketch_size,
-            A.shape[0], dtype,
+        # Y = Ω @ A, structure-exploiting (SRHT uses the fast transform and
+        # never materializes the s×m matrix).
+        Y = sketch_apply_left(
+            self.config.sketch, _as_key(key), self.config.sketch_size, A, dtype
         )
-        # Y = Ω @ A (through the operator if A is matrix-free)
-        Y = A.__rmatmul__(Omega) if isinstance(A, LinOp) else hmm(Omega, A)
         self.L = skpre_update(Y, self.config.rho)
 
     def _matmul(self, x):

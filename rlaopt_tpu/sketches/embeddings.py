@@ -31,6 +31,7 @@ __all__ = [
     "srht_matrix",
     "left_embedding",
     "right_embedding",
+    "sketch_apply_left",
 ]
 
 
@@ -104,8 +105,44 @@ def srht_apply(signs: jax.Array, rows: jax.Array, A: jax.Array) -> jax.Array:
 
 
 def srht_matrix(signs: jax.Array, rows: jax.Array, d: int) -> jax.Array:
-    """Materialize the (s, d) SRHT matrix (tests / small problems only)."""
-    return srht_apply(signs, rows, jnp.eye(d, dtype=signs.dtype))
+    """Materialize the (s, d) SRHT matrix.
+
+    Selected Hadamard rows are built directly via the bit identity
+    ``H[r, c] = (-1)^popcount(r & c)`` (Sylvester order) — O(s·p) memory,
+    never the p×p transform of an identity.
+    """
+    p = signs.shape[0]
+    s = rows.shape[0]
+    cols = jnp.arange(p, dtype=jnp.uint32)
+    bits = jax.lax.population_count(rows.astype(jnp.uint32)[:, None] & cols[None, :])
+    H_sel = (1.0 - 2.0 * (bits & 1).astype(signs.dtype))  # (s, p)
+    scale = jnp.sqrt(jnp.asarray(p / s, signs.dtype)) / jnp.sqrt(
+        jnp.asarray(p, signs.dtype)
+    )
+    Theta = H_sel * signs[None, :] * scale
+    return Theta[:, :d]
+
+
+def sketch_apply_left(name: str, key: jax.Array, s: int, A, dtype) -> jax.Array:
+    """Compute Ω @ A for the named left-mode sketch, structure-exploiting.
+
+    For SRHT with a dense operand this is the fast transform (never
+    materializes the (s, d) matrix — essential at d ~ 1e5+); other families
+    materialize the embedding and matmul. ``A`` may be a LinOp.
+    """
+    from .enums import _SketchMode
+    from ..linops.base import LinOp
+    from ..utils.linalg import hmm
+
+    mode = _SketchMode._from_str(name, "name")
+    d = A.shape[0]
+    if mode == _SketchMode.SRHT and not isinstance(A, LinOp):
+        signs, rows = srht_params(key, s, d, dtype)
+        return srht_apply(signs, rows, jnp.asarray(A))
+    Omega = left_embedding(name, key, s, d, dtype)
+    if isinstance(A, LinOp):
+        return A.__rmatmul__(Omega)
+    return hmm(Omega, jnp.asarray(A))
 
 
 def left_embedding(name: str, key: jax.Array, s: int, d: int, dtype) -> jax.Array:
