@@ -79,27 +79,23 @@ class LSQR(Solver):
         self.P = self._get_precond()
         self._L = getattr(self.P, "L", None)  # None for Identity
 
-        W0 = jnp.asarray(W_init)
-        if W0.ndim == 1:
-            W0 = W0[:, None]
-        # Note: nonzero W_init would require a residual shift; start the
-        # bidiagonalization from the preconditioned-space image of W_init=0.
-        self._W0_offset = W0
+        # LSQR starts its bidiagonalization from W=0 (a nonzero W_init would
+        # require shifting the RHS; not supported, as in scipy's lsqr).
         self.state = self._init_state()
         self._chunk_fn = self._build_chunk_fn()
 
     # preconditioned operator: Â v = A L⁻ᵀ v;  Âᵀ u = L⁻¹ Aᵀ u
-    def _amv(self, V):
-        A = self.system.A
-        if self._L is not None:
-            V = solve_tri_upper(self._L.T, V)
+    # (A and L are threaded as explicit arguments so jit never embeds a
+    # large dense operand as a program constant.)
+    def _amv(self, A, L, V):
+        if L is not None:
+            V = solve_tri_upper(L.T, V)
         return A @ V if isinstance(A, LinOp) else hmm(A, V)
 
-    def _armv(self, U):
-        A = self.system.A
+    def _armv(self, A, L, U):
         out = A.__rmatmul__(U.T).T if isinstance(A, LinOp) else hmm(A.T, U)
-        if self._L is not None:
-            out = solve_tri_lower(self._L, out)
+        if L is not None:
+            out = solve_tri_lower(L, out)
         return out
 
     def _back_transform(self, Y):
@@ -109,7 +105,7 @@ class LSQR(Solver):
 
     @property
     def W(self):
-        return self._back_transform(self.state.Y) + self._W0_offset * 0.0
+        return self._back_transform(self.state.Y)
 
     def _get_precond(self):
         P = _get_precond(self.precond_config)
@@ -117,32 +113,34 @@ class LSQR(Solver):
         return P
 
     def _init_state(self) -> LSQRState:
-        B = self.system.B
-        beta = _colnorm(B)
-        U = _safe_div(B, beta[None, :])
-        V_raw = self._armv(U)
-        alpha = _colnorm(V_raw)
-        V = _safe_div(V_raw, alpha[None, :])
-        return LSQRState(
-            Y=jnp.zeros((V.shape[0], B.shape[1]), dtype=B.dtype),
-            U=U,
-            V=V,
-            W=V,
-            alpha=alpha,
-            phibar=beta,
-            rhobar=alpha,
-        )
+        def init(A, L, B):
+            beta = _colnorm(B)
+            U = _safe_div(B, beta[None, :])
+            V_raw = self._armv(A, L, U)
+            alpha = _colnorm(V_raw)
+            V = _safe_div(V_raw, alpha[None, :])
+            return LSQRState(
+                Y=jnp.zeros((V.shape[0], B.shape[1]), dtype=B.dtype),
+                U=U,
+                V=V,
+                W=V,
+                alpha=alpha,
+                phibar=beta,
+                rhobar=alpha,
+            )
 
-    def _step_fn(self, s: LSQRState, mask) -> LSQRState:
+        return jax.jit(init)(self.system.A, self._L, self.system.B)
+
+    def _step_fn(self, A, L, s: LSQRState, mask) -> LSQRState:
         dtype = s.Y.dtype
         m = mask.astype(dtype)[None, :]
         damp = jnp.asarray(self.damp, dtype)
 
         # bidiagonalization
-        U_raw = self._amv(s.V) - s.alpha[None, :] * s.U
+        U_raw = self._amv(A, L, s.V) - s.alpha[None, :] * s.U
         beta = _colnorm(U_raw)
         U = _safe_div(U_raw, beta[None, :])
-        V_raw = self._armv(U) - beta[None, :] * s.V
+        V_raw = self._armv(A, L, U) - beta[None, :] * s.V
         alpha = _colnorm(V_raw)
         V = _safe_div(V_raw, alpha[None, :])
 
@@ -176,9 +174,9 @@ class LSQR(Solver):
 
     def _build_chunk_fn(self):
         @partial(jax.jit, static_argnames=("n_steps",))
-        def chunk(state, mask, n_steps):
+        def chunk(A, L, state, mask, n_steps):
             def body(st, _):
-                return self._step_fn(st, mask), None
+                return self._step_fn(A, L, st, mask), None
 
             state, _ = jax.lax.scan(body, state, None, length=n_steps)
             return state
@@ -189,4 +187,6 @@ class LSQR(Solver):
         self._run_chunk(1)
 
     def _run_chunk(self, n_steps: int):
-        self.state = self._chunk_fn(self.state, self.system.mask, n_steps)
+        self.state = self._chunk_fn(
+            self.system.A, self._L, self.state, self.system.mask, n_steps
+        )

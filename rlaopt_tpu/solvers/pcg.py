@@ -53,6 +53,21 @@ def _op_mm(A, X):
     return hmm(A, X)
 
 
+def _is_pytree_operand(A) -> bool:
+    """True when A can travel through jit as an operand pytree."""
+    import numpy as np
+
+    from ..linops.sharded import ShardedLinOp
+
+    if isinstance(A, ShardedLinOp):
+        return False
+    if isinstance(A, (jax.Array, np.ndarray)):
+        return True
+    if isinstance(A, LinOp):
+        return jax.tree_util.all_leaves([A]) is False  # registered pytree
+    return False
+
+
 def pcg_init(A, B, reg, W, inv_fn, pstate) -> PCGState:
     """R = B − (A + reg·I)W;  Z = P⁻¹R;  P_ = Z;  RZ = RᵀZ."""
     R = B - (_op_mm(A, W) + reg * W)
@@ -158,18 +173,47 @@ class PCG(Solver):
             W0 = W0[:, None]
         A, inv_fn = system.A, self._inv_fn
 
-        @partial(jax.jit, static_argnames=("n_steps",))
-        def chunk(reg, pstate, state, mask, n_steps):
-            def body(s, _):
-                return pcg_step(A, reg, inv_fn, pstate, s, mask), None
+        # Pytree-able operators (dense arrays, registered LinOp pytrees) are
+        # passed as jit ARGUMENTS: closing over them embeds their bytes in
+        # the compiled program (a 400MB dense A blows the remote-compile
+        # upload limit). Sharded operators (not pytrees; carry a Mesh) are
+        # closed over — their payloads are already placed.
+        self._pass_A = _is_pytree_operand(A)
 
-            state, _ = jax.lax.scan(body, state, None, length=n_steps)
-            return state
+        if self._pass_A:
+
+            @partial(jax.jit, static_argnames=("n_steps",))
+            def chunk(A_arg, reg, pstate, state, mask, n_steps):
+                def body(s, _):
+                    return pcg_step(A_arg, reg, inv_fn, pstate, s, mask), None
+
+                state, _ = jax.lax.scan(body, state, None, length=n_steps)
+                return state
+
+            init = jax.jit(
+                lambda A_arg, B, reg, W, pstate: pcg_init(
+                    A_arg, B, reg, W, inv_fn, pstate
+                )
+            )
+            self.state = init(A, system.B, self._reg, W0, self._pstate)
+        else:
+
+            @partial(jax.jit, static_argnames=("n_steps",))
+            def chunk(reg, pstate, state, mask, n_steps):
+                def body(s, _):
+                    return pcg_step(A, reg, inv_fn, pstate, s, mask), None
+
+                state, _ = jax.lax.scan(body, state, None, length=n_steps)
+                return state
+
+            init = jax.jit(
+                lambda B, reg, W, pstate: pcg_init(
+                    A, B, reg, W, inv_fn, pstate
+                )
+            )
+            self.state = init(system.B, self._reg, W0, self._pstate)
 
         self._chunk_fn = chunk
-        self.state = jax.jit(lambda B, reg, W, pstate: pcg_init(
-            A, B, reg, W, inv_fn, pstate
-        ))(system.B, self._reg, W0, self._pstate)
 
     @property
     def W(self):
@@ -185,10 +229,20 @@ class PCG(Solver):
         self._run_chunk(1)
 
     def _run_chunk(self, n_steps: int):
-        self.state = self._chunk_fn(
-            self._reg,
-            self._pstate,
-            self.state,
-            self.system.mask,
-            n_steps=n_steps,
-        )
+        if self._pass_A:
+            self.state = self._chunk_fn(
+                self.system.A,
+                self._reg,
+                self._pstate,
+                self.state,
+                self.system.mask,
+                n_steps=n_steps,
+            )
+        else:
+            self.state = self._chunk_fn(
+                self._reg,
+                self._pstate,
+                self.state,
+                self.system.mask,
+                n_steps=n_steps,
+            )
