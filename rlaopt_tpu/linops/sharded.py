@@ -189,6 +189,68 @@ class ShardedLinOp(TwoSidedLinOp):
         raise NotImplementedError
 
     @classmethod
+    def from_local_ops(
+        cls,
+        ops,
+        mesh: Mesh,
+        mode: str = "row",
+        axis: str = "i",
+    ) -> "ShardedLinOp":
+        """Build a distributed operator from per-device local operators.
+
+        Reference-style constructor (``DistributedLinOp(A=[ops...], ...)``,
+        ``rlaopt/linops/distributed.py:15-94``): ``ops`` are same-structure
+        payload-style LinOps over equal-size chunks (one per mesh device);
+        their payload leaves are stacked along a new leading axis sharded
+        over the mesh, and the first op's functions run on the local slice.
+        """
+        ndev = mesh.shape[axis]
+        if len(ops) != ndev:
+            raise ValueError(
+                f"need one local op per device ({ndev}), got {len(ops)}"
+            )
+        shapes = {op.shape for op in ops}
+        if len(shapes) != 1:
+            raise ValueError(
+                "local ops must have equal shapes (pad ragged chunks); "
+                f"got {sorted(shapes)}"
+            )
+        loc_rows, loc_cols = ops[0].shape
+        stacked = jax.tree_util.tree_map(
+            lambda *leaves: jnp.stack(leaves, axis=0), *[op.data for op in ops]
+        )
+        nspec = jax.tree_util.tree_map(lambda _: P(axis), stacked)
+        proto = ops[0]
+
+        def mv(dd, x):
+            local = jax.tree_util.tree_map(lambda l: l[0], dd)
+            return proto._mv(local, x)
+
+        has_rmv = getattr(proto, "_rmv", None) is not None
+
+        def rmv(dd, x):
+            if not has_rmv:
+                raise TypeError("local ops have no rmatvec")
+            local = jax.tree_util.tree_map(lambda l: l[0], dd)
+            return proto._rmv(local, x)
+
+        if mode == "row":
+            shape = (loc_rows * ndev, loc_cols)
+        else:
+            shape = (loc_rows, loc_cols * ndev)
+        return cls(
+            shape,
+            mv,
+            rmv,
+            mesh,
+            stacked,
+            nspec,
+            mode=mode,
+            axis=axis,
+            dtype=proto.dtype,
+        )
+
+    @classmethod
     def from_dense(
         cls,
         M: jax.Array,

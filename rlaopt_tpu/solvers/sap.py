@@ -62,6 +62,7 @@ class SAPState(NamedTuple):
     V: jax.Array  # momentum term (aliases W when accel=False)
     Y: jax.Array  # acceleration point (aliases W when accel=False)
     key: jax.Array
+    t: jax.Array  # iteration counter (drives the debug block schedule)
 
 
 class SAP(Solver):
@@ -77,6 +78,7 @@ class SAP(Solver):
         accel_config: SAPAccelConfig,
         power_iters: int,
         key=None,
+        _block_schedule=None,
     ):
         self.system = system
         if type(precond_config) not in VALID_PRECONDS:
@@ -99,7 +101,14 @@ class SAP(Solver):
             self.beta = 1 - (accel_config.mu / accel_config.nu) ** 0.5
             self.gamma = 1 / (accel_config.mu * accel_config.nu) ** 0.5
             self.alpha = 1 / (1 + self.gamma * accel_config.nu)
-        self.state = SAPState(W=W0, V=W0, Y=W0, key=_as_key(key))
+        # Debug/parity hook: a fixed (T, blk_sz) block schedule overriding
+        # the random sampler (used by the reference-parity suite).
+        self._block_schedule = (
+            jnp.asarray(_block_schedule) if _block_schedule is not None else None
+        )
+        self.state = SAPState(
+            W=W0, V=W0, Y=W0, key=_as_key(key), t=jnp.asarray(0)
+        )
         self._chunk_fn = self._build_chunk_fn()
 
     @property
@@ -160,7 +169,10 @@ class SAP(Solver):
         B = self.system.B
         key, k_blk, k_prec, k_pow = jax.random.split(state.key, 4)
 
-        blk = jax.random.choice(k_blk, n, (self.blk_sz,), replace=False)
+        if self._block_schedule is not None:
+            blk = self._block_schedule[state.t % self._block_schedule.shape[0]]
+        else:
+            blk = jax.random.choice(k_blk, n, (self.blk_sz,), replace=False)
         apply_inv, exact = self._get_precond(blk, k_prec, dtype)
         stepsize = self._get_stepsize(blk, apply_inv, exact, k_pow, dtype)
 
@@ -178,10 +190,10 @@ class SAP(Solver):
             V = jnp.where(mcol, Vc, state.V)
             Yc = self.alpha * V + (1 - self.alpha) * W
             Y = jnp.where(mcol, Yc, state.Y)
-            return SAPState(W=W, V=V, Y=Y, key=key)
+            return SAPState(W=W, V=V, Y=Y, key=key, t=state.t + 1)
         Wc = state.W.at[blk].add(-stepsize * direction)
         W = jnp.where(mcol, Wc, state.W)
-        return SAPState(W=W, V=W, Y=W, key=key)
+        return SAPState(W=W, V=W, Y=W, key=key, t=state.t + 1)
 
     def _build_chunk_fn(self):
         @partial(jax.jit, static_argnames=("n_steps",))

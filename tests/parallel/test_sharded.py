@@ -166,3 +166,43 @@ class TestShardedEndToEnd:
             jnp.max(log[it]["metrics"]["internal_metrics"]["rel_res"])
         )
         assert rel < 1e-3
+
+
+class TestFromLocalOps:
+    def test_row_mode(self, key, dtype, tol, mesh):
+        """Reference-style construction from per-device local operators."""
+        from rlaopt_tpu.linops import TwoSidedLinOp
+
+        ndev = 8
+        loc, m = 6, 10
+        Ms = [
+            jax.random.normal(jax.random.fold_in(key, i), (loc, m), dtype=dtype)
+            for i in range(ndev)
+        ]
+        ops = [
+            TwoSidedLinOp(
+                (loc, m),
+                matvec=lambda d, x: d @ x,
+                rmatvec=lambda d, x: d.T @ x,
+                dtype=dtype,
+                data=M,
+            )
+            for M in Ms
+        ]
+        A = ShardedLinOp.from_local_ops(ops, mesh, mode="row")
+        M_full = jnp.concatenate(Ms, axis=0)
+        assert A.shape == (ndev * loc, m)
+        x = jnp.ones((m,), dtype)
+        y = jnp.ones((ndev * loc,), dtype)
+        assert np.allclose(A @ x, M_full @ x, rtol=100 * tol, atol=100 * tol)
+        assert np.allclose(y @ A, y @ M_full, rtol=100 * tol, atol=100 * tol)
+
+    def test_validation(self, key, mesh):
+        from rlaopt_tpu.linops import LinOp
+
+        ops = [
+            LinOp((3, 4), matvec=lambda d, x: d @ x, data=jnp.ones((3, 4)))
+            for _ in range(3)
+        ]
+        with pytest.raises(ValueError):
+            ShardedLinOp.from_local_ops(ops, mesh)  # wrong count

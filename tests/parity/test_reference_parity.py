@@ -280,3 +280,79 @@ class TestKernelFormulaParity:
             scale_inputs(jnp.asarray(Y), ls),
         )
         assert np.allclose(np.asarray(Kj), K_ref, rtol=1e-9, atol=1e-10)
+
+
+class TestSAPIterateParity:
+    """SAP with Newton-exact block preconditioner (stepsize 1.0) and a fixed
+    block schedule is fully deterministic — iterates must match the
+    reference exactly."""
+
+    @pytest.mark.parametrize("accel", [False, True])
+    def test_fixed_schedule(self, problem, monkeypatch, accel):
+        from rlaopt.solvers.sap import SAP as TSAP
+        from rlaopt.solvers import SAPConfig as TSAPConfig, SAPAccelConfig as TSAPAccelConfig
+        from rlaopt_tpu.solvers.sap import SAP as JSAP
+        from rlaopt_tpu.solvers import SAPAccelConfig as JSAPAccelConfig
+        from rlaopt_tpu.linops import aslinop
+
+        A, B, reg = problem
+        n = A.shape[0]
+        blk_sz, steps = 12, 8
+        rng = np.random.default_rng(5)
+        schedule = np.stack(
+            [rng.choice(n, size=blk_sz, replace=False) for _ in range(steps)]
+        )
+
+        # ---- reference
+        t_sched = [torch.from_numpy(s.copy()) for s in schedule]
+        sys_t = TLinSys(
+            torch.from_numpy(A.copy()),
+            torch.from_numpy(B.copy()),
+            reg=reg,
+            A_row_oracle=lambda blk, _A=torch.from_numpy(A.copy()): _A[blk, :],
+            A_blk_oracle=lambda blk, _A=torch.from_numpy(A.copy()): _A[blk][:, blk],
+        )
+        t_solver = TSAP(
+            system=sys_t,
+            W_init=torch.zeros_like(torch.from_numpy(B)),
+            precond_config=TNewtonConfig(rho=reg),
+            device=torch.device("cpu"),
+            blk_sz=blk_sz,
+            accel=accel,
+            accel_config=TSAPAccelConfig(mu=0.1, nu=2.0) if accel else None,
+            power_iters=5,
+        )
+        it = iter(t_sched)
+        monkeypatch.setattr(t_solver, "_get_blk", lambda: next(it))
+        ref_iters = []
+        for _ in range(steps):
+            t_solver._step()
+            ref_iters.append(t_solver.W.clone().numpy())
+
+        # ---- ours
+        sys_j = JLinSys(
+            jnp.asarray(A),
+            jnp.asarray(B),
+            reg=reg,
+            A_row_oracle=lambda blk: aslinop(jnp.asarray(A)[blk, :]),
+            A_blk_oracle=lambda blk: aslinop(jnp.asarray(A)[blk][:, blk]),
+        )
+        j_solver = JSAP(
+            system=sys_j,
+            W_init=jnp.zeros_like(jnp.asarray(B)),
+            precond_config=JNewtonConfig(rho=reg),
+            blk_sz=blk_sz,
+            accel=accel,
+            accel_config=JSAPAccelConfig(mu=0.1, nu=2.0) if accel else None,
+            power_iters=5,
+            key=0,
+            _block_schedule=schedule,
+        )
+        our_iters = []
+        for _ in range(steps):
+            j_solver._run_chunk(1)
+            our_iters.append(np.asarray(j_solver.W))
+
+        for t, (wr, wo) in enumerate(zip(ref_iters, our_iters)):
+            rel = np.abs(wr - wo).max() / (1.0 + np.abs(wr).max())
+            assert rel < 1e-10, f"SAP iterate {t} diverged: {rel:.3e}"
