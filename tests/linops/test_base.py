@@ -167,3 +167,29 @@ def test_type_helpers(key):
     _is_linop_or_array(aslinop(M), "A")
     with pytest.raises(TypeError):
         _is_linop_or_array("nope", "x")
+
+
+class TestScaleMixin:
+    def test_compat_shim(self):
+        from rlaopt_tpu.linops import ScaleMixin
+        from rlaopt_tpu.linops.mixins import _ScaledFunction
+
+        class Obj(ScaleMixin):
+            pass
+
+        o = Obj()
+        o._initialize_scaling(2.0)
+        assert o._apply_scaling(3.0) == 6.0
+        f = o._apply_scaling(lambda x: x + 1)
+        assert f(1.0) == 4.0
+        # nested scales merge multiplicatively
+        o2 = Obj()
+        o2._initialize_scaling(3.0)
+        g = o2._apply_scaling(f)
+        assert isinstance(g, _ScaledFunction) and g.scale == 6.0
+        assert g(1.0) == 12.0
+        # unit scale: passthrough
+        o3 = Obj()
+        o3._initialize_scaling(1.0)
+        h = lambda x: x  # noqa: E731
+        assert o3._apply_scaling(h) is h
