@@ -35,7 +35,7 @@ def config1_nystrom_pcg_cpu():
     from rlaopt_tpu.solvers import PCGConfig
 
     cpu = jax.devices("cpu")[0]
-    with jax.experimental.enable_x64(), jax.default_device(cpu):
+    with jax.enable_x64(True), jax.default_device(cpu):
         n, rank = 4096, 200
         key = jax.random.PRNGKey(0)
         kq, kb = jax.random.split(key)

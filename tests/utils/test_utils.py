@@ -94,3 +94,35 @@ class TestCheckers:
             _is_pos_int(1.5, "x")
         with pytest.raises(TypeError):
             _is_pos_int(True, "x")
+
+
+class TestLoggerWandb:
+    def test_wandb_plumbing(self, monkeypatch):
+        import sys, types
+
+        calls = {"init": None, "log": [], "finish": 0}
+        stub = types.ModuleType("wandb")
+        stub.init = lambda **kw: calls.__setitem__("init", kw)
+        stub.log = lambda d, step=None: calls["log"].append((step, d))
+        stub.finish = lambda: calls.__setitem__("finish", calls["finish"] + 1)
+        monkeypatch.setitem(sys.modules, "wandb", stub)
+
+        lg = Logger(
+            log_freq=2,
+            log_fn=lambda w: {"m": 1},
+            wandb_kwargs={"project": "p", "config": {"a": 1}},
+        )
+        assert calls["init"]["project"] == "p"
+        lg._compute_log(2, jnp.asarray(0.0))
+        assert calls["log"][0][0] == 2
+        lg._terminate()
+        assert calls["finish"] == 1
+
+
+class TestTraceContext:
+    def test_profiler_trace(self, tmp_path):
+        from rlaopt_tpu.utils import trace
+
+        with trace(str(tmp_path / "tr")):
+            _ = (jnp.ones(8) * 2).sum()
+        assert any((tmp_path / "tr").rglob("*"))
