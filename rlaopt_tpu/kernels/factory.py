@@ -26,8 +26,12 @@ def _create_kernel_classes(kernel_name: str, kind: str) -> Tuple[type, type]:
         A2: jax.Array,
         kernel_config: KernelConfig,
         impl: str = "auto",
+        compute_dtype=None,
     ):
-        KernelLinOp.__init__(self, A1, A2, kernel_config, kind=kind, impl=impl)
+        KernelLinOp.__init__(
+            self, A1, A2, kernel_config, kind=kind, impl=impl,
+            compute_dtype=compute_dtype,
+        )
 
     single = type(
         f"{kernel_name}LinOp",

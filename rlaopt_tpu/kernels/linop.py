@@ -39,10 +39,12 @@ class KernelLinOp(TwoSidedLinOp):
         kernel_config: KernelConfig,
         kind: str,
         impl: str = "auto",
+        compute_dtype=None,
     ):
         self._check_inputs(A1, A2, kernel_config)
         self.kind = kind
         self.impl = impl
+        self.compute_dtype = compute_dtype
         self._kernel_config = kernel_config
         ls = kernel_config.lengthscale_array(A1.dtype)
         scale = jnp.asarray(kernel_config.const_scaling, A1.dtype)
@@ -50,13 +52,15 @@ class KernelLinOp(TwoSidedLinOp):
 
         def mv(d, v):
             return kernel_matmat(
-                kind, d["X1"], d["X2"], v, d["ls"], d["scale"], impl=impl
+                kind, d["X1"], d["X2"], v, d["ls"], d["scale"], impl=impl,
+                compute_dtype=compute_dtype,
             )
 
         def rmv(d, v):
             # k symmetric in its arguments: Kᵀ = k(X2, X1)
             return kernel_matmat(
-                kind, d["X2"], d["X1"], v, d["ls"], d["scale"], impl=impl
+                kind, d["X2"], d["X1"], v, d["ls"], d["scale"], impl=impl,
+                compute_dtype=compute_dtype,
             )
 
         super().__init__(
@@ -98,7 +102,10 @@ class KernelLinOp(TwoSidedLinOp):
         """Operator over gathered subsets of the data points (jit-safe)."""
         A1 = self.A1 if idx1 is None else self.A1[idx1]
         A2 = self.A2 if idx2 is None else self.A2[idx2]
-        return KernelLinOp(A1, A2, self._kernel_config, self.kind, self.impl)
+        return KernelLinOp(
+            A1, A2, self._kernel_config, self.kind, self.impl,
+            self.compute_dtype,
+        )
 
     def row_oracle(self, blk: jax.Array) -> "KernelLinOp":
         """K[blk, :] as an operator."""
@@ -120,6 +127,7 @@ class KernelLinOp(TwoSidedLinOp):
             self._rmm,
             self.kind,
             self.impl,
+            self.compute_dtype,
             self._kernel_config.const_scaling,
         )
         return children, aux
@@ -136,6 +144,7 @@ class KernelLinOp(TwoSidedLinOp):
             obj._rmm,
             obj.kind,
             obj.impl,
+            obj.compute_dtype,
             const_scaling,
         ) = aux
         obj._data, obj._scale = children
