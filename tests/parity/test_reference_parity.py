@@ -356,3 +356,45 @@ class TestSAPIterateParity:
         for t, (wr, wo) in enumerate(zip(ref_iters, our_iters)):
             rel = np.abs(wr - wo).max() / (1.0 + np.abs(wr).max())
             assert rel < 1e-10, f"SAP iterate {t} diverged: {rel:.3e}"
+
+
+class TestNystromPCGFullLoop:
+    def test_full_loop_with_injected_sketch(self, problem, monkeypatch):
+        """End-to-end Nyström-PCG with identical sketches on both sides:
+        adaptive damping, fp64 inverse path, and the masked iteration all
+        compose to matching trajectories."""
+        A, B, reg = problem
+        n = A.shape[0]
+        rank = 24
+        rng = np.random.default_rng(11)
+        Omega = np.linalg.qr(rng.normal(size=(n, rank)))[0]
+
+        class _FixedSketch:
+            def __init__(self, O):
+                self.Omega_mat = torch.from_numpy(O)
+
+            def _apply_right(self, x):
+                return x @ self.Omega_mat
+
+            def _apply_left_trans(self, x):
+                return self.Omega_mat.T @ x
+
+        import rlaopt.preconditioners.nystrom as t_nys_mod
+        import rlaopt_tpu.preconditioners.nystrom as j_nys_mod
+
+        monkeypatch.setattr(
+            t_nys_mod, "get_sketch", lambda *a, **k: _FixedSketch(Omega)
+        )
+        monkeypatch.setattr(
+            j_nys_mod, "right_embedding",
+            lambda name, key, s, d, dtype: jnp.asarray(Omega),
+        )
+
+        iters = 10
+        ref = run_reference_pcg(
+            A, B, reg, TNystromConfig(rank=rank, rho=1e-3), iters
+        )
+        ours = run_ours_pcg(
+            A, B, reg, JNystromConfig(rank=rank, rho=1e-3), iters
+        )
+        _iterates_close(ref, ours, 1e-8)
