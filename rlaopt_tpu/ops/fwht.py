@@ -94,7 +94,10 @@ def fwht(x: jax.Array, axis: int = 0) -> jax.Array:
     Ha = hadamard_matrix(a, x.dtype)
     Hb = hadamard_matrix(b, x.dtype)
     # (H_a ⊗ H_b) x == H_a X H_b (H symmetric) — two MXU contractions.
-    Y = jnp.tensordot(Ha, X, axes=((1,), (0,)))  # (a, b, *rest)
-    Y = jnp.tensordot(Hb, Y, axes=((1,), (1,)))  # (b, a, *rest)
+    # HIGHEST precision: excess-precision runtimes would round operands to
+    # bf16 before the ±1-weighted sums.
+    hp = jax.lax.Precision.HIGHEST
+    Y = jnp.tensordot(Ha, X, axes=((1,), (0,)), precision=hp)  # (a, b, *rest)
+    Y = jnp.tensordot(Hb, Y, axes=((1,), (1,)), precision=hp)  # (b, a, *rest)
     Y = jnp.swapaxes(Y, 0, 1)  # (a, b, *rest)
     return jnp.moveaxis(Y.reshape(p, *rest), 0, axis)

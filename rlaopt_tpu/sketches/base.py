@@ -22,17 +22,17 @@ __all__ = ["Sketch"]
 
 
 def _lmul(M: jax.Array, x):
-    """M @ x where x may be a LinOp."""
+    """M @ x where x may be a LinOp (dense at HIGHEST matmul precision)."""
     if isinstance(x, LinOp):
         return x.__rmatmul__(M)
-    return M @ jnp.asarray(x)
+    return jnp.matmul(M, jnp.asarray(x), precision=jax.lax.Precision.HIGHEST)
 
 
 def _rmul(x, M: jax.Array):
-    """x @ M where x may be a LinOp."""
+    """x @ M where x may be a LinOp (dense at HIGHEST matmul precision)."""
     if isinstance(x, LinOp):
         return x @ M
-    return jnp.asarray(x) @ M
+    return jnp.matmul(jnp.asarray(x), M, precision=jax.lax.Precision.HIGHEST)
 
 
 class Sketch(ABC):
