@@ -39,7 +39,8 @@ def kernel_matmat(
     (full-rate MXU; ~1e-2 relative distance error) — Pallas path only.
     """
     if impl == "auto":
-        use_pallas = _on_tpu() and X1.shape[1] <= _PALLAS_MAX_D
+        max_d = 64 if kind == "laplace" else _PALLAS_MAX_D
+        use_pallas = _on_tpu() and X1.shape[1] <= max_d
         impl = "pallas" if use_pallas else "xla"
     if impl == "pallas":
         from .kernel_pallas import kernel_matmat_pallas

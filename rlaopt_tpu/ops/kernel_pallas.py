@@ -39,31 +39,57 @@ _SQRT3 = 3.0**0.5
 _SQRT5 = 5.0**0.5
 
 
-def _tile_formula(kind, xi, xjT, compute_dtype):
+def _sqdist_direct(xi, xjT, d_orig):
+    """Exact pairwise squared distances by feature-broadcast on the VPU.
+
+    For small d this beats the 128-padded HIGHEST-precision MXU expansion
+    (~4× at d≈10) and is exact f32 regardless of runtime excess-precision
+    settings. Only the ``d_orig`` real features are visited.
+    """
+    f32 = jnp.float32
+    tm, tn = xi.shape[0], xjT.shape[1]
+    # Static unroll: Mosaic cannot lower dynamic_slice on values, and d_orig
+    # is a Python int anyway.
+    acc = jnp.zeros((tm, tn), dtype=f32)
+    for f in range(d_orig):
+        diff = xi[:, f : f + 1] - xjT[f : f + 1, :]
+        acc = acc + diff * diff
+    return acc
+
+
+def _tile_formula(kind, xi, xjT, compute_dtype, direct_d=None):
     """Evaluate the kernel tile k(xi, xj) for one (TM, TN) block.
 
     ``xjT`` is the column-tile in (d, TN) orientation so the cross term is a
     natural (TM, d) @ (d, TN) MXU matmul — no per-tile transpose.
+    ``direct_d``: when set, compute squared distances with the exact VPU
+    path over that many features instead of the MXU expansion.
     """
     f32 = jnp.float32
     if kind == "laplace":
-        d = xi.shape[1]
         tm, tn = xi.shape[0], xjT.shape[1]
-
-        def body(f, acc):
-            col_i = lax.dynamic_slice_in_dim(xi, f, 1, axis=1)  # (TM, 1)
-            row_j = lax.dynamic_slice_in_dim(xjT, f, 1, axis=0)  # (1, TN)
-            return acc + jnp.abs(col_i - row_j)
-
-        l1 = lax.fori_loop(0, d, body, jnp.zeros((tm, tn), dtype=f32))
+        d_iter = direct_d if direct_d is not None else xi.shape[1]
+        l1 = jnp.zeros((tm, tn), dtype=f32)
+        for f in range(d_iter):  # static unroll (see _sqdist_direct)
+            l1 = l1 + jnp.abs(xi[:, f : f + 1] - xjT[f : f + 1, :])
         return jnp.exp(-l1)
+
+    if direct_d is not None:
+        d2 = _sqdist_direct(xi, xjT, direct_d)
+        if kind == "rbf":
+            return jnp.exp(-0.5 * d2)
+        r = jnp.sqrt(d2)
+        if kind == "matern12":
+            return jnp.exp(-r)
+        if kind == "matern32":
+            return (1.0 + _SQRT3 * r) * jnp.exp(-_SQRT3 * r)
+        if kind == "matern52":
+            return (1.0 + _SQRT5 * r + (5.0 / 3.0) * d2) * jnp.exp(-_SQRT5 * r)
+        raise ValueError(f"Unknown kernel kind {kind!r}")
 
     xn = jnp.sum(xi.astype(f32) ** 2, axis=1, keepdims=True)  # (TM, 1)
     yn = jnp.sum(xjT.astype(f32) ** 2, axis=0, keepdims=True)  # (1, TN)
-    if compute_dtype == "high":
-        # 3-pass bf16: ~2x faster than HIGHEST, near-f32 accuracy.
-        precision = lax.Precision.HIGH
-    elif compute_dtype is not None:
+    if compute_dtype is not None:
         xi = xi.astype(compute_dtype)
         xjT = xjT.astype(compute_dtype)
         precision = None
@@ -93,7 +119,8 @@ def _tile_formula(kind, xi, xjT, compute_dtype):
 
 
 def _kernel_body(
-    x1_ref, x2_ref, v_ref, o_ref, acc_ref, *, kind, nj, compute_dtype
+    x1_ref, x2_ref, v_ref, o_ref, acc_ref, *, kind, nj, compute_dtype,
+    direct_d=None,
 ):
     j = pl.program_id(1)
 
@@ -101,11 +128,11 @@ def _kernel_body(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    k_tile = _tile_formula(kind, x1_ref[:], x2_ref[:], compute_dtype)
+    k_tile = _tile_formula(
+        kind, x1_ref[:], x2_ref[:], compute_dtype, direct_d=direct_d
+    )
     if compute_dtype is None:
         acc_precision = jax.lax.Precision.HIGHEST
-    elif compute_dtype == "high":
-        acc_precision = jax.lax.Precision.HIGH
     else:
         acc_precision = None
     acc_ref[:] += jax.lax.dot_general(
@@ -175,15 +202,20 @@ def kernel_matmat_pallas(
     k_p = Vp.shape[1]
     ni, nj = n_p // tile_m, m_p // tile_n
 
-    if compute_dtype is None or compute_dtype == "high":
-        cd = compute_dtype
+    cd = jnp.dtype(compute_dtype) if compute_dtype is not None else None
+    # Small-d accurate path: exact VPU squared distances beat the 128-padded
+    # HIGHEST-precision MXU expansion and dodge excess-precision demotion.
+    # Laplace always iterates features; cap its unroll at the true d.
+    if kind == "laplace":
+        direct_d = d
     else:
-        cd = jnp.dtype(compute_dtype)
+        direct_d = d if (cd is None and d <= 32) else None
     body = functools.partial(
         _kernel_body,
         kind=kind,
         nj=nj,
         compute_dtype=cd,
+        direct_d=direct_d,
     )
 
     out = pl.pallas_call(
