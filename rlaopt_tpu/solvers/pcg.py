@@ -195,7 +195,11 @@ class PCG(Solver):
                     A_arg, B, reg, W, inv_fn, pstate
                 )
             )
-            self.state = init(A, system.B, self._reg, W0, self._pstate)
+            # A as argument (not a closure constant) — see chunk note above.
+            self._init_fn = lambda B, reg, W, pstate: init(
+                self.system.A, B, reg, W, pstate
+            )
+            self.state = self._init_fn(system.B, self._reg, W0, self._pstate)
         else:
 
             @partial(jax.jit, static_argnames=("n_steps",))
@@ -211,6 +215,7 @@ class PCG(Solver):
                     A, B, reg, W, inv_fn, pstate
                 )
             )
+            self._init_fn = init
             self.state = init(system.B, self._reg, W0, self._pstate)
 
         self._chunk_fn = chunk
@@ -227,6 +232,20 @@ class PCG(Solver):
 
     def _step(self):
         self._run_chunk(1)
+
+    def _resync(self):
+        """Restart from the current iterate with a freshly computed residual.
+
+        Van-der-Vorst-style residual replacement: the recurred residual
+        drifts from the true residual at the dtype's accuracy floor; a
+        restart (R = B − (A+reg)W, fresh direction) is one extra operator
+        apply and turns per-column CG breakdown into iterative refinement —
+        pushing the attainable residual from the recurrence floor down to
+        the residual-evaluation floor.
+        """
+        self.state = self._init_fn(
+            self.system.B, self._reg, self.state.W, self._pstate
+        )
 
     def _run_chunk(self, n_steps: int):
         if self._pass_A:
@@ -246,3 +265,6 @@ class PCG(Solver):
                 self.system.mask,
                 n_steps=n_steps,
             )
+        # Breakdown in any active column → restart with a true residual.
+        if not bool(jnp.all(self.state.ok | ~self.system.mask)):
+            self._resync()
