@@ -147,7 +147,7 @@ def config4_askotch_1m():
         A_blk_oracle=K.blk_oracle,
     )
     cfg = SAPConfig(
-        max_iters=50, rtol=1e-6, blk_sz=blk_sz,
+        max_iters=300, rtol=1e-6, blk_sz=blk_sz,
         precond_config=NystromConfig(rank=100, rho=float(reg)),
         accel=True,
         accel_config=SAPAccelConfig(mu=float(reg) / n, nu=float(blk_sz)),
@@ -155,7 +155,7 @@ def config4_askotch_1m():
     )
     t0 = time.perf_counter()
     W, log = sys_.solve(
-        cfg, jnp.zeros((n, 1), dtype=jnp.float32), callback_freq=10, key=key
+        cfg, jnp.zeros((n, 1), dtype=jnp.float32), callback_freq=25, key=key
     )
     _sync(W)
     wall = time.perf_counter() - t0

@@ -206,3 +206,32 @@ class TestFromLocalOps:
         ]
         with pytest.raises(ValueError):
             ShardedLinOp.from_local_ops(ops, mesh)  # wrong count
+
+
+class TestShardedSolverState:
+    def test_rhs_and_state_stay_row_sharded(self, key, mesh):
+        """Sharding the RHS/W_init row-wise propagates through the entire
+        compiled PCG loop (GSPMD): solver state lives distributed, results
+        are exact."""
+        from jax.sharding import PartitionSpec as P
+        from rlaopt_tpu.parallel import shard_rows
+
+        n, d, k = 96, 3, 2
+        kx, kb = jax.random.split(key)
+        X = jax.random.normal(kx, (n, d), dtype=jnp.float64)
+        B = shard_rows(jax.random.normal(kb, (n, k), dtype=jnp.float64), mesh)
+        W0 = shard_rows(jnp.zeros((n, k), dtype=jnp.float64), mesh)
+        A = ShardedRBFLinOp(X, X, KernelConfig(lengthscale=1.0), mesh=mesh)
+        sys_ = LinSys(A, B, reg=1e-4)
+        W, _ = sys_.solve(
+            PCGConfig(
+                max_iters=300, rtol=1e-9,
+                precond_config=NystromConfig(rank=60, rho=1e-4),
+            ),
+            W0,
+            key=key,
+        )
+        assert W.sharding.spec == P("i")
+        K = compute_kernel_matrix("rbf", X, X, 1.0)
+        W_true = np.linalg.solve(K + 1e-4 * np.eye(n), np.asarray(B))
+        assert np.linalg.norm(np.asarray(W) - W_true) / np.linalg.norm(W_true) < 1e-6
