@@ -133,15 +133,17 @@ def config4_askotch_1m():
     from rlaopt_tpu.preconditioners import NystromConfig
     from rlaopt_tpu.solvers import SAPAccelConfig, SAPConfig
 
-    n, d = 1_000_000, 10
+    # Mirrors the reference experiment's setup at 1/10 scale
+    # (experiments/distributed_krr_linsys_askotch_solve_test.py: data /√d,
+    # lengthscale 1.0, reg=1e-2, mu=reg, nu=100).
+    n, d = 1_000_000, 50
     key = jax.random.PRNGKey(0)
-    kx, kw, kn2 = jax.random.split(key, 3)
-    X = jax.random.normal(kx, (n, d), dtype=jnp.float32)
-    w = jax.random.normal(kw, (d,), dtype=jnp.float32)
-    y = jnp.tanh(X @ w) + 0.1 * jax.random.normal(kn2, (n,), dtype=jnp.float32)
-    reg = 1e-6 * n
+    kx, kb = jax.random.split(key)
+    X = jax.random.normal(kx, (n, d), dtype=jnp.float32) / d**0.5
+    y = jax.random.normal(kb, (n,), dtype=jnp.float32)
+    reg = 1e-2
     blk_sz = n // 100
-    K = RBFLinOp(X, X, KernelConfig(lengthscale=float(d) ** 0.5))
+    K = RBFLinOp(X, X, KernelConfig(lengthscale=1.0))
     sys_ = LinSys(
         K, y, reg=float(reg), A_row_oracle=K.row_oracle,
         A_blk_oracle=K.blk_oracle,
@@ -150,7 +152,7 @@ def config4_askotch_1m():
         max_iters=300, rtol=1e-6, blk_sz=blk_sz,
         precond_config=NystromConfig(rank=100, rho=float(reg)),
         accel=True,
-        accel_config=SAPAccelConfig(mu=float(reg) / n, nu=float(blk_sz)),
+        accel_config=SAPAccelConfig(mu=float(reg), nu=100.0),
         power_iters=10,
     )
     t0 = time.perf_counter()
@@ -161,7 +163,13 @@ def config4_askotch_1m():
     wall = time.perf_counter() - t0
     it = max(log.keys())
     rel = float(jnp.max(log[it]["metrics"]["internal_metrics"]["rel_res"]))
-    _result("askotch_krr_1m", wall, {"iters": it, "rel_res": rel})
+    # ASkotch touches 1% of coordinates per iteration; full convergence takes
+    # thousands of iterations (the reference's 300-iteration experiment is a
+    # scale test, not a convergence run). Track throughput + progress.
+    _result(
+        "askotch_krr_1m", wall,
+        {"iters": it, "rel_res": rel, "iters_per_s": round(it / wall, 2)},
+    )
 
 
 def config5_sharded_krr():

@@ -17,12 +17,12 @@ from rlaopt_tpu.solvers import SAPAccelConfig, SAPConfig
 def main(n=1_000_000, d=50, k=10):
     key = jax.random.PRNGKey(0)
     kx, kb = jax.random.split(key)
-    X = jax.random.normal(kx, (n, d), dtype=jnp.float32)
+    X = jax.random.normal(kx, (n, d), dtype=jnp.float32) / d**0.5
     B = jax.random.normal(kb, (n, k), dtype=jnp.float32)
 
-    reg = 1e-6 * n
+    reg = 1e-2
     blk_sz = n // 100
-    K = RBFLinOp(X, X, KernelConfig(lengthscale=float(d) ** 0.5))
+    K = RBFLinOp(X, X, KernelConfig(lengthscale=1.0))
     model = LinSys(
         K, B, reg=float(reg),
         A_row_oracle=K.row_oracle, A_blk_oracle=K.blk_oracle,
@@ -32,7 +32,7 @@ def main(n=1_000_000, d=50, k=10):
             max_iters=300, rtol=1e-6, blk_sz=blk_sz,
             precond_config=NystromConfig(rank=100, rho=float(reg)),
             accel=True,
-            accel_config=SAPAccelConfig(mu=float(reg) / n, nu=float(blk_sz)),
+            accel_config=SAPAccelConfig(mu=float(reg), nu=100.0),
             power_iters=10,
         ),
         jnp.zeros((n, k), dtype=jnp.float32),
