@@ -56,10 +56,12 @@ def _create_kernel_classes(kernel_name: str, kind: str) -> Tuple[type, type]:
         axis: str = "i",
         impl: str = "auto",
         use_full_kernel: bool = True,
+        memory_mode: str = "replicated",
     ):
         ShardedKernelLinOp.__init__(
             self, A1, A2, kernel_config, kind=kind, mesh=mesh, axis=axis,
             impl=impl, use_full_kernel=use_full_kernel,
+            memory_mode=memory_mode,
         )
 
     sharded = type(

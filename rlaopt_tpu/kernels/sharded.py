@@ -24,6 +24,11 @@ and re-uses workers for the row/blk oracles. Here:
   ``kernels/base.py:449-505``).
 * Worker reuse / ``is_new=False`` plumbing has no equivalent: sharding is
   compile-time metadata.
+* ``memory_mode="ring"`` goes beyond the reference: NOTHING is replicated —
+  (A2 shard, operand shard) pairs rotate around the mesh ring via
+  ``ppermute`` while devices accumulate their output rows, the
+  ring-attention communication pattern applied to Gram matvecs (SURVEY §5's
+  long-context analog). Per-device memory is O((n+m)·d/ndev).
 """
 
 import jax
@@ -55,14 +60,29 @@ class ShardedKernelLinOp(ShardedLinOp):
         axis: str = "i",
         impl: str = "auto",
         use_full_kernel: bool = True,
+        memory_mode: str = "replicated",
     ):
+        """See class docstring.
+
+        ``memory_mode``:
+            * "replicated" — A2 is additionally kept replicated for the full
+              matvec (reference full-kernel mode).
+            * "ring" — nothing is replicated: the full matvec rotates the
+              (A2 shard, operand shard) pairs around the mesh ring with
+              ``ppermute`` while each device accumulates its output rows —
+              the ring-attention trick applied to kernel Gram matvecs.
+              O(m·d/ndev) memory per device; bandwidth rides ICI.
+        """
         self._check_inputs(A1, A2, kernel_config)
+        if memory_mode not in ("replicated", "ring"):
+            raise ValueError(f"unknown memory_mode {memory_mode!r}")
         mesh = mesh if mesh is not None else make_mesh(axis=axis)
         ndev = mesh.shape[axis]
         self.kind = kind
         self.impl = impl
         self._kernel_config = kernel_config
         self.use_full_kernel = use_full_kernel
+        self.memory_mode = memory_mode
 
         n, d = A1.shape
         m = A2.shape[0]
@@ -76,19 +96,75 @@ class ShardedKernelLinOp(ShardedLinOp):
 
         data = {"X1": X1, "X2s": X2s, "ls": ls}
         specs = {"X1": P(axis, None), "X2s": P(axis, None), "ls": P()}
-        if use_full_kernel:
+        if use_full_kernel and memory_mode == "replicated":
             data["X2r"] = jax.device_put(
                 jnp.asarray(A2), NamedSharding(mesh, P())
             )
             specs["X2r"] = P()
 
-        def mv(dd, v):
-            # local row slab: k(X1_loc, X2) @ v — no collective needed
-            return kernel_matmat(kind, dd["X1"], dd["X2r"], v, dd["ls"], impl=impl)
+        ring = [(i, (i + 1) % ndev) for i in range(ndev)]
 
-        def rmv(dd, y_loc):
-            # partial column result: k(X2, X1_loc) @ y_loc (psum-combined)
-            return kernel_matmat(kind, dd["X2r"], dd["X1"], y_loc, dd["ls"], impl=impl)
+        if memory_mode == "ring":
+            # Operand enters column-sharded (like rmatvec's row sharding of
+            # padded A2); shards rotate around the ring. m_padded below.
+            def mv(dd, v_loc):
+                def body(carry, _):
+                    x2s, vs, acc = carry
+                    acc = acc + kernel_matmat(
+                        kind, dd["X1"], x2s, vs, dd["ls"], impl=impl
+                    )
+                    x2s = jax.lax.ppermute(x2s, axis, ring)
+                    vs = jax.lax.ppermute(vs, axis, ring)
+                    return (x2s, vs, acc), None
+
+                k_rhs = v_loc.shape[1] if v_loc.ndim == 2 else None
+                acc0 = jnp.zeros(
+                    (dd["X1"].shape[0],) + (() if k_rhs is None else (k_rhs,)),
+                    dtype=v_loc.dtype,
+                )
+                (_, _, acc), _ = jax.lax.scan(
+                    body, (dd["X2s"], v_loc, acc0), None, length=ndev
+                )
+                return acc
+
+            def rmv(dd, y_loc):
+                # Kᵀ y: rotate (X2 shard, output accumulator) pairs; each
+                # device adds its k(X2_shard, X1_loc) @ y_loc contribution to
+                # the accumulator currently visiting it.
+                def body(carry, _):
+                    x2s, acc = carry
+                    acc = acc + kernel_matmat(
+                        kind, x2s, dd["X1"], y_loc, dd["ls"], impl=impl
+                    )
+                    x2s = jax.lax.ppermute(x2s, axis, ring)
+                    acc = jax.lax.ppermute(acc, axis, ring)
+                    return (x2s, acc), None
+
+                k_rhs = y_loc.shape[1] if y_loc.ndim == 2 else None
+                acc0 = jnp.zeros(
+                    (dd["X2s"].shape[0],) + (() if k_rhs is None else (k_rhs,)),
+                    dtype=y_loc.dtype,
+                )
+                (_, acc), _ = jax.lax.scan(
+                    body, (dd["X2s"], acc0), None, length=ndev
+                )
+                # After ndev hops each accumulator is back home holding the
+                # full column sum for its shard.
+                return acc
+
+        else:
+
+            def mv(dd, v):
+                # local row slab: k(X1_loc, X2) @ v — no collective needed
+                return kernel_matmat(
+                    kind, dd["X1"], dd["X2r"], v, dd["ls"], impl=impl
+                )
+
+            def rmv(dd, y_loc):
+                # partial column result: k(X2, X1_loc) @ y_loc (psum-combined)
+                return kernel_matmat(
+                    kind, dd["X2r"], dd["X1"], y_loc, dd["ls"], impl=impl
+                )
 
         super().__init__(
             shape=(n, m),
@@ -100,7 +176,7 @@ class ShardedKernelLinOp(ShardedLinOp):
             mode="row",
             axis=axis,
             dtype=A1.dtype,
-            padded_shape=(A1p.shape[0], m),
+            padded_shape=(A1p.shape[0], A2p.shape[0]),
             scale=float(kernel_config.const_scaling),
         )
         self._m_padded = A2p.shape[0]
@@ -132,6 +208,33 @@ class ShardedKernelLinOp(ShardedLinOp):
                 "operator built with use_full_kernel=False exposes only "
                 "row_oracle/blk_oracle"
             )
+
+    # Ring mode: both operand and output are sharded over the mesh axis.
+    def _matvec_impl(self, x):
+        if self.memory_mode != "ring":
+            return super()._matvec_impl(x)
+        from ..linops.sharded import _spec_nd
+
+        x_p = self._pad_operand(x, self.padded_shape[1])
+        out = self._shmap(
+            self._mv,
+            in_specs=(self.data_specs, _spec_nd(self.axis, x.ndim, True)),
+            out_specs=_spec_nd(self.axis, x.ndim, True),
+        )(self._data, x_p)
+        return out[: self.shape[0]]
+
+    def _rmatvec_impl(self, y):
+        if self.memory_mode != "ring":
+            return super()._rmatvec_impl(y)
+        from ..linops.sharded import _spec_nd
+
+        y_p = self._pad_operand(y, self.padded_shape[0])
+        out = self._shmap(
+            self._rmv,
+            in_specs=(self.data_specs, _spec_nd(self.axis, y.ndim, True)),
+            out_specs=_spec_nd(self.axis, y.ndim, True),
+        )(self._data, y_p)
+        return out[: self.shape[1]]
 
     def matvec(self, x):
         self._require_full()

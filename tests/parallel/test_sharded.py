@@ -235,3 +235,57 @@ class TestShardedSolverState:
         K = compute_kernel_matrix("rbf", X, X, 1.0)
         W_true = np.linalg.solve(K + 1e-4 * np.eye(n), np.asarray(B))
         assert np.linalg.norm(np.asarray(W) - W_true) / np.linalg.norm(W_true) < 1e-6
+
+
+class TestRingMode:
+    """Ring-mode sharded kernel matvec: nothing replicated, shards rotate
+    via ppermute (ring-attention analog for Gram matvecs)."""
+
+    @pytest.mark.parametrize("n,m", [(48, 48), (41, 29)])
+    def test_matches_replicated(self, key, dtype, tol, mesh, n, m):
+        d = 4
+        k1, k2 = jax.random.split(key)
+        X1 = jax.random.normal(k1, (n, d), dtype=dtype)
+        X2 = jax.random.normal(k2, (m, d), dtype=dtype)
+        cfg = KernelConfig(const_scaling=1.3, lengthscale=0.9)
+        A_ring = ShardedRBFLinOp(X1, X2, cfg, mesh=mesh, memory_mode="ring")
+        K = compute_kernel_matrix("rbf", X1, X2, 0.9, const_scaling=1.3)
+        rt = 1e3 * tol
+        v = np.linspace(-1, 1, m)
+        V = np.ones((m, 3))
+        y = np.ones(n)
+        assert np.allclose(
+            A_ring @ jnp.asarray(v, dtype), K @ v, rtol=rt, atol=rt
+        )
+        assert np.allclose(
+            A_ring @ jnp.asarray(V, dtype), K @ V, rtol=rt, atol=rt
+        )
+        assert np.allclose(
+            jnp.asarray(y, dtype) @ A_ring, y @ K, rtol=rt, atol=rt
+        )
+        assert np.allclose(
+            A_ring.T @ jnp.asarray(y, dtype), K.T @ y, rtol=rt, atol=rt
+        )
+
+    def test_pcg_through_ring(self, key, mesh):
+        n, d = 64, 3
+        kx, kb = jax.random.split(key)
+        X = jax.random.normal(kx, (n, d), dtype=jnp.float64)
+        B = jax.random.normal(kb, (n, 2), dtype=jnp.float64)
+        reg = 1e-4
+        A = ShardedRBFLinOp(
+            X, X, KernelConfig(lengthscale=1.0), mesh=mesh,
+            memory_mode="ring",
+        )
+        sys_ = LinSys(A, B, reg=reg)
+        W, _ = sys_.solve(
+            PCGConfig(
+                max_iters=200, rtol=1e-9,
+                precond_config=NystromConfig(rank=40, rho=reg),
+            ),
+            jnp.zeros_like(B),
+            key=key,
+        )
+        K = compute_kernel_matrix("rbf", X, X, 1.0)
+        W_true = np.linalg.solve(K + reg * np.eye(n), np.asarray(B))
+        assert np.linalg.norm(W - W_true) / np.linalg.norm(W_true) < 1e-6
