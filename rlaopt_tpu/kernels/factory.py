@@ -6,7 +6,7 @@ mesh-sharded operator (:mod:`rlaopt_tpu.kernels.sharded`): sharding metadata
 replaces the reference's worker processes.
 """
 
-from typing import Tuple, Type
+from typing import Tuple
 
 import jax
 

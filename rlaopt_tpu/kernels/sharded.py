@@ -37,7 +37,6 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .configs import KernelConfig, _is_kernel_config
-from .linop import KernelLinOp
 from ..linops.sharded import ShardedLinOp
 from ..ops.kernel_dispatch import kernel_matmat
 from ..parallel.mesh import make_mesh, pad_to_multiple

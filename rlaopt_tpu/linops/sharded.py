@@ -259,7 +259,7 @@ class ShardedLinOp(TwoSidedLinOp):
         axis: str = "i",
     ) -> "ShardedLinOp":
         """Shard a dense matrix over the mesh as a matrix-free operator."""
-        from ..parallel.mesh import pad_to_multiple, row_sharding
+        from ..parallel.mesh import pad_to_multiple
 
         ndev = mesh.shape[axis]
         shard_dim = 0 if mode == "row" else 1

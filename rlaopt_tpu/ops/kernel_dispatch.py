@@ -5,7 +5,6 @@ feature dimension fits a VMEM tile) and the XLA streaming fallback elsewhere.
 """
 
 import jax
-import jax.numpy as jnp
 
 from .kernel_xla import kernel_matmat_xla
 

@@ -19,7 +19,6 @@ import hashlib
 import os
 import pathlib
 import subprocess
-from typing import Optional
 
 
 __all__ = ["native_available", "ensure_registered", "TARGET_PREFIX"]

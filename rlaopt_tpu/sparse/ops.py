@@ -12,9 +12,6 @@ kernels of ``csrc/``). TPU-first formulation:
 * ``impl="auto"`` uses native on the CPU backend when built, XLA otherwise.
 """
 
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

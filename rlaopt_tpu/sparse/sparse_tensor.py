@@ -9,7 +9,6 @@ sharding are array metadata.
 """
 
 from enum import Enum, auto
-from typing import Tuple, Union
 
 import jax
 import jax.numpy as jnp

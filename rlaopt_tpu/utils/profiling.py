@@ -8,7 +8,7 @@ named phase timers that block on async dispatch so times are real.
 import contextlib
 import time
 from collections import defaultdict
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 
