@@ -16,8 +16,16 @@ The performance-critical replacement for the reference's KeOps engine
   row/col/feature padding is zero-filled, which is exact: zero features don't
   change distances, padded RHS rows are zero, padded output rows are sliced.
 
-``compute_dtype="bfloat16"`` casts the cross-term matmul operands to bf16
-(full-speed MXU, ~1e-2 relative distance error); the default keeps f32.
+``compute_dtype`` selects the cross-term speed/accuracy tier (measured on
+the round-1 chip at n=m=16384, d=256):
+
+=============  ==========================  ===================
+value           accuracy (rel, vs f64-ish)  throughput
+=============  ==========================  ===================
+None (default)  3e-7 (exact f32)            14.8 TFLOP/s
+"bf16x3"        8e-7 (split-precision)      18.8 TFLOP/s
+"bfloat16"      4e-3                        31.9 TFLOP/s
+=============  ==========================  ===================
 """
 
 import functools
@@ -89,22 +97,39 @@ def _tile_formula(kind, xi, xjT, compute_dtype, direct_d=None):
 
     xn = jnp.sum(xi.astype(f32) ** 2, axis=1, keepdims=True)  # (TM, 1)
     yn = jnp.sum(xjT.astype(f32) ** 2, axis=0, keepdims=True)  # (1, TN)
-    if compute_dtype is not None:
-        xi = xi.astype(compute_dtype)
-        xjT = xjT.astype(compute_dtype)
-        precision = None
+    dn = (((1,), (0,)), ((), ()))
+    if compute_dtype == "bf16x3":
+        # Manual 3-pass split precision (Mosaic rejects Precision.HIGH):
+        # x = hi + lo in bf16 pairs; x·y ≈ hi·hi + hi·lo + lo·hi — near-f32
+        # accuracy at ~2x the 6-pass HIGHEST throughput.
+        bf16 = jnp.bfloat16
+        xi_hi = xi.astype(bf16)
+        xi_lo = (xi - xi_hi.astype(f32)).astype(bf16)
+        yj_hi = xjT.astype(bf16)
+        yj_lo = (xjT - yj_hi.astype(f32)).astype(bf16)
+        cross = (
+            jax.lax.dot_general(xi_hi, yj_hi, dn, preferred_element_type=f32)
+            + jax.lax.dot_general(xi_hi, yj_lo, dn, preferred_element_type=f32)
+            + jax.lax.dot_general(xi_lo, yj_hi, dn, preferred_element_type=f32)
+        )
     else:
-        # Explicit HIGHEST: the runtime may set --xla_allow_excess_precision,
-        # which silently demotes f32 dots to bf16 — ~1e-2 kernel-value noise
-        # that stalls CG solves around 1e-2 relative residual.
-        precision = lax.Precision.HIGHEST
-    cross = jax.lax.dot_general(
-        xi,
-        xjT,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32,
-        precision=precision,
-    )  # (TM, TN)
+        if compute_dtype is not None:
+            xi = xi.astype(compute_dtype)
+            xjT = xjT.astype(compute_dtype)
+            precision = None
+        else:
+            # Explicit HIGHEST: the runtime may set
+            # --xla_allow_excess_precision, which silently demotes f32 dots
+            # to bf16 — ~1e-2 kernel-value noise that stalls CG solves
+            # around 1e-2 relative residual.
+            precision = lax.Precision.HIGHEST
+        cross = jax.lax.dot_general(
+            xi,
+            xjT,
+            dimension_numbers=dn,
+            preferred_element_type=f32,
+            precision=precision,
+        )  # (TM, TN)
     d2 = jnp.maximum(xn + yn - 2.0 * cross, 0.0)
     if kind == "rbf":
         return jnp.exp(-0.5 * d2)
@@ -131,7 +156,7 @@ def _kernel_body(
     k_tile = _tile_formula(
         kind, x1_ref[:], x2_ref[:], compute_dtype, direct_d=direct_d
     )
-    if compute_dtype is None:
+    if compute_dtype is None or compute_dtype == "bf16x3":
         acc_precision = jax.lax.Precision.HIGHEST
     else:
         acc_precision = None
@@ -202,14 +227,17 @@ def kernel_matmat_pallas(
     k_p = Vp.shape[1]
     ni, nj = n_p // tile_m, m_p // tile_n
 
-    cd = jnp.dtype(compute_dtype) if compute_dtype is not None else None
+    if compute_dtype is None or compute_dtype == "bf16x3":
+        cd = compute_dtype
+    else:
+        cd = jnp.dtype(compute_dtype)
     # Small-d accurate path: exact VPU squared distances beat the 128-padded
     # HIGHEST-precision MXU expansion and dodge excess-precision demotion.
     # Laplace always iterates features; cap its unroll at the true d.
     if kind == "laplace":
         direct_d = d
     else:
-        direct_d = d if (cd is None and d <= 32) else None
+        direct_d = d if (cd in (None, "bf16x3") and d <= 32) else None
     body = functools.partial(
         _kernel_body,
         kind=kind,
