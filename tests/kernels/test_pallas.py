@@ -55,3 +55,14 @@ def test_pallas_bf16_fast_path(data):
     )
     # bf16 cross-term: looser tolerance
     assert np.allclose(got, K @ np.asarray(V), atol=5e-2)
+
+
+def test_pallas_bf16x3_tier(data):
+    X1, X2, V = data
+    K = compute_kernel_matrix("rbf", X1, X2, 1.0)
+    got = kernel_matmat_pallas(
+        "rbf", X1, X2, V, 1.0, 1.0, tile_m=32, tile_n=32,
+        compute_dtype="bf16x3", interpret=True,
+    )
+    # near-f32: much tighter than the bf16 tier
+    assert np.allclose(got, K @ np.asarray(V), atol=5e-4)
