@@ -180,7 +180,13 @@ class SAP(Solver):
         grad = self._row_mm(blk, eval_pt) + reg * eval_pt[blk] - B[blk]
         direction = apply_inv(grad)
 
-        mcol = mask[None, :]
+        # Robustness: a degenerate block (failed factorization, divergent
+        # power iteration) yields a non-finite direction — skip the update
+        # for affected columns instead of poisoning the iterate.
+        dir_ok = jnp.all(jnp.isfinite(direction), axis=0) & jnp.isfinite(
+            stepsize
+        )
+        mcol = (mask & dir_ok)[None, :]
         if self.accel:
             Wc = state.Y.at[blk].add(-stepsize * direction)
             W = jnp.where(mcol, Wc, state.W)
