@@ -196,3 +196,47 @@ class TestPCGLinSys:
         first = conv_idx[0] + 1
         for later in range(first + 1, len(snapshots)):
             assert jnp.array_equal(snapshots[first], snapshots[later])
+
+
+class TestConfigSerialization:
+    def test_solver_config_to_dict_nests(self):
+        from rlaopt_tpu.preconditioners import NystromConfig
+        from rlaopt_tpu.solvers import SAPAccelConfig, SAPConfig
+
+        cfg = SAPConfig(
+            max_iters=5, blk_sz=4,
+            precond_config=NystromConfig(rank=3, rho=1e-2),
+            accel=True, accel_config=SAPAccelConfig(mu=0.1, nu=2.0),
+        )
+        d = cfg.to_dict()
+        assert d["max_iters"] == 5
+        assert d["precond_config"]["rank"] == 3
+        assert d["precond_config"]["damping_mode"] == "adaptive"
+        assert d["accel_config"]["mu"] == 0.1
+
+    def test_wandb_kwargs_merge_and_warn(self, key):
+        import warnings
+
+        from rlaopt_tpu.models import LinSys
+        from rlaopt_tpu.solvers import PCGConfig
+
+        n = 8
+        A = jnp.eye(n)
+        sys_ = LinSys(A, jnp.ones((n, 1)), reg=0.0)
+        cfg = PCGConfig(max_iters=2)
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            kw = sys_._get_wandb_kwargs(
+                log_in_wandb=True,
+                wandb_init_kwargs={"project": "p", "config": {"extra": 1}},
+                solver_name="pcg",
+                solver_config=cfg,
+                callback_freq=10,
+            )
+        assert kw["project"] == "p"
+        assert kw["config"]["solver_name"] == "pcg"
+        assert kw["config"]["extra"] == 1  # merged
+        assert any("Merging" in str(w.message) for w in rec)
+        assert (
+            sys_._get_wandb_kwargs(False, None, "pcg", cfg, 10) is None
+        )
