@@ -57,11 +57,12 @@ def _create_kernel_classes(kernel_name: str, kind: str) -> Tuple[type, type]:
         impl: str = "auto",
         use_full_kernel: bool = True,
         memory_mode: str = "replicated",
+        compute_dtype=None,
     ):
         ShardedKernelLinOp.__init__(
             self, A1, A2, kernel_config, kind=kind, mesh=mesh, axis=axis,
             impl=impl, use_full_kernel=use_full_kernel,
-            memory_mode=memory_mode,
+            memory_mode=memory_mode, compute_dtype=compute_dtype,
         )
 
     sharded = type(

@@ -60,6 +60,7 @@ class ShardedKernelLinOp(ShardedLinOp):
         impl: str = "auto",
         use_full_kernel: bool = True,
         memory_mode: str = "replicated",
+        compute_dtype=None,
     ):
         """See class docstring.
 
@@ -79,6 +80,7 @@ class ShardedKernelLinOp(ShardedLinOp):
         ndev = mesh.shape[axis]
         self.kind = kind
         self.impl = impl
+        self.compute_dtype = compute_dtype
         self._kernel_config = kernel_config
         self.use_full_kernel = use_full_kernel
         self.memory_mode = memory_mode
@@ -110,7 +112,7 @@ class ShardedKernelLinOp(ShardedLinOp):
                 def body(carry, _):
                     x2s, vs, acc = carry
                     acc = acc + kernel_matmat(
-                        kind, dd["X1"], x2s, vs, dd["ls"], impl=impl
+                        kind, dd["X1"], x2s, vs, dd["ls"], impl=impl, compute_dtype=compute_dtype
                     )
                     x2s = jax.lax.ppermute(x2s, axis, ring)
                     vs = jax.lax.ppermute(vs, axis, ring)
@@ -133,7 +135,7 @@ class ShardedKernelLinOp(ShardedLinOp):
                 def body(carry, _):
                     x2s, acc = carry
                     acc = acc + kernel_matmat(
-                        kind, x2s, dd["X1"], y_loc, dd["ls"], impl=impl
+                        kind, x2s, dd["X1"], y_loc, dd["ls"], impl=impl, compute_dtype=compute_dtype
                     )
                     x2s = jax.lax.ppermute(x2s, axis, ring)
                     acc = jax.lax.ppermute(acc, axis, ring)
@@ -156,13 +158,13 @@ class ShardedKernelLinOp(ShardedLinOp):
             def mv(dd, v):
                 # local row slab: k(X1_loc, X2) @ v — no collective needed
                 return kernel_matmat(
-                    kind, dd["X1"], dd["X2r"], v, dd["ls"], impl=impl
+                    kind, dd["X1"], dd["X2r"], v, dd["ls"], impl=impl, compute_dtype=compute_dtype
                 )
 
             def rmv(dd, y_loc):
                 # partial column result: k(X2, X1_loc) @ y_loc (psum-combined)
                 return kernel_matmat(
-                    kind, dd["X2r"], dd["X1"], y_loc, dd["ls"], impl=impl
+                    kind, dd["X2r"], dd["X1"], y_loc, dd["ls"], impl=impl, compute_dtype=compute_dtype
                 )
 
         super().__init__(
@@ -264,18 +266,19 @@ class ShardedKernelLinOp(ShardedLinOp):
         x_blk = self._gather_rows_A1(blk)
         b = x_blk.shape[0]
         kind, impl, axis = self.kind, self.impl, self.axis
+        compute_dtype = self.compute_dtype
 
         data = {"Xb": x_blk, "X2s": self._data["X2s"], "ls": self._data["ls"]}
         specs = {"Xb": P(), "X2s": P(axis, None), "ls": P()}
 
         def mv(dd, w_loc):
             return kernel_matmat(
-                kind, dd["Xb"], dd["X2s"], w_loc, dd["ls"], impl=impl
+                kind, dd["Xb"], dd["X2s"], w_loc, dd["ls"], impl=impl, compute_dtype=compute_dtype
             )
 
         def rmv(dd, y):
             return kernel_matmat(
-                kind, dd["X2s"], dd["Xb"], y, dd["ls"], impl=impl
+                kind, dd["X2s"], dd["Xb"], y, dd["ls"], impl=impl, compute_dtype=compute_dtype
             )
 
         return ShardedLinOp(
@@ -310,6 +313,7 @@ class ShardedKernelLinOp(ShardedLinOp):
         else:
             x1b_s = x1b
         kind, impl, axis = self.kind, self.impl, self.axis
+        compute_dtype = self.compute_dtype
 
         data = {"Xb_s": x1b_s, "Xb": x2b, "ls": self._data["ls"]}
         specs = {"Xb_s": P(axis, None), "Xb": P(), "ls": P()}
@@ -317,12 +321,12 @@ class ShardedKernelLinOp(ShardedLinOp):
         def mv(dd, v):
             # local rows of K[blk, blk] @ v
             return kernel_matmat(
-                kind, dd["Xb_s"], dd["Xb"], v, dd["ls"], impl=impl
+                kind, dd["Xb_s"], dd["Xb"], v, dd["ls"], impl=impl, compute_dtype=compute_dtype
             )
 
         def rmv(dd, y_loc):
             return kernel_matmat(
-                kind, dd["Xb"], dd["Xb_s"], y_loc, dd["ls"], impl=impl
+                kind, dd["Xb"], dd["Xb_s"], y_loc, dd["ls"], impl=impl, compute_dtype=compute_dtype
             )
 
         return ShardedLinOp(
