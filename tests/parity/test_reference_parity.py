@@ -398,3 +398,52 @@ class TestNystromPCGFullLoop:
             A, B, reg, JNystromConfig(rank=rank, rho=1e-3), iters
         )
         _iterates_close(ref, ours, 1e-8)
+
+
+class TestSkPreParity:
+    def test_skpre_with_injected_sketch(self, monkeypatch):
+        """Same ΩA on both sides → identical Cholesky factor and P/P⁻¹."""
+        from rlaopt.preconditioners.skpre import SkPre as TSkPre
+        from rlaopt.preconditioners import SkPreConfig as TSkPreConfig
+        from rlaopt_tpu.preconditioners import SkPre as JSkPre, SkPreConfig as JSkPreConfig
+        import rlaopt.preconditioners.skpre as t_skpre_mod
+        import rlaopt_tpu.preconditioners.skpre as j_skpre_mod
+
+        rng = np.random.default_rng(2)
+        m, d, s = 120, 30, 60
+        A = rng.normal(size=(m, d))
+        Omega = rng.normal(size=(s, m)) / np.sqrt(s)
+
+        class _FixedLeftSketch:
+            def __init__(self, O):
+                self.Omega_mat = torch.from_numpy(O)
+
+            def _apply_left(self, x):
+                return self.Omega_mat @ x
+
+        monkeypatch.setattr(
+            t_skpre_mod, "get_sketch", lambda *a, **k: _FixedLeftSketch(Omega)
+        )
+        monkeypatch.setattr(
+            j_skpre_mod,
+            "sketch_apply_left",
+            lambda name, key, ss, AA, dtype: jnp.asarray(Omega) @ AA,
+        )
+        rho = 1e-3
+        P_t = TSkPre(TSkPreConfig(sketch_size=s, rho=rho))
+        P_t._update(torch.from_numpy(A.copy()), torch.device("cpu"))
+        P_j = JSkPre(JSkPreConfig(sketch_size=s, rho=rho))
+        P_j._update(jnp.asarray(A), key=0)
+
+        assert np.allclose(P_t.L.numpy(), np.asarray(P_j.L), atol=1e-10)
+        x = np.linspace(-1, 1, d)
+        assert np.allclose(
+            (P_t @ torch.from_numpy(x)).numpy(),
+            np.asarray(P_j @ jnp.asarray(x)),
+            atol=1e-10,
+        )
+        assert np.allclose(
+            (P_t._inv @ torch.from_numpy(x)).numpy(),
+            np.asarray(P_j._inv @ jnp.asarray(x)),
+            atol=1e-9,
+        )
