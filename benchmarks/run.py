@@ -3,9 +3,9 @@
 Each config prints one JSON line with wall-clock and accuracy numbers.
 Run:  python benchmarks/run.py --config N  (N in 1..5, default: all)
 
-Datasets are synthesized in-process (the environment has no egress); config
-3 uses HIGGS-like dimensions (n=100k, d=28) with a synthetic nonlinear
-target, which exercises identical compute paths.
+Configs 3/5 load the real UCI HIGGS dataset via benchmarks/datasets.py
+(download + checksum + cache); in offline environments they fall back to a
+shape-matched synthetic surrogate and report dataset="synthetic".
 """
 
 import argparse
@@ -89,13 +89,17 @@ def config2_srht_lsqr():
     _result("srht_lsqr_100k_x_1k", wall, {"iters": it, "nrm_eq_rel_res": rel})
 
 
-def _higgs_like(n, key, dtype=jnp.float32):
-    d = 28
-    kx, kw, kn = jax.random.split(key, 3)
-    X = jax.random.normal(kx, (n, d), dtype=dtype)
-    w = jax.random.normal(kw, (d,), dtype=dtype)
-    y = jnp.tanh(X @ w) + 0.1 * jax.random.normal(kn, (n,), dtype=dtype)
-    return X, y
+def _higgs(n):
+    """Real HIGGS rows when downloadable/cached; synthetic surrogate
+    otherwise. Returns (X, y, source) — source is reported in results."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from datasets import load_higgs
+
+    X, y, source = load_higgs(n)
+    return jnp.asarray(X), jnp.asarray(y), source
 
 
 def config3_krr_pcg():
@@ -107,7 +111,7 @@ def config3_krr_pcg():
 
     n = 100_000
     key = jax.random.PRNGKey(0)
-    X, y = _higgs_like(n, key)
+    X, y, source = _higgs(n)
     reg = 1e-4 * n
     K = RBFLinOp(X, X, KernelConfig(lengthscale=28.0**0.5))
     sys_ = LinSys(K, y, reg=float(reg))
@@ -123,7 +127,10 @@ def config3_krr_pcg():
     wall = time.perf_counter() - t0
     it = max(log.keys())
     rel = float(jnp.max(log[it]["metrics"]["internal_metrics"]["rel_res"]))
-    _result("rbf_krr_higgs100k_pcg", wall, {"iters": it, "rel_res": rel})
+    _result(
+        "rbf_krr_higgs100k_pcg", wall,
+        {"iters": it, "rel_res": rel, "dataset": source},
+    )
 
 
 def config4_askotch_1m():
@@ -187,7 +194,7 @@ def config5_sharded_krr():
 
     n = 50_000
     key = jax.random.PRNGKey(0)
-    X, y = _higgs_like(n, key)
+    X, y, source = _higgs(n)
     mesh = make_mesh()
     reg = 1e-4 * n
     K = ShardedRBFLinOp(X, X, KernelConfig(lengthscale=28.0**0.5), mesh=mesh)
@@ -215,6 +222,7 @@ def config5_sharded_krr():
             "rel_res": rel,
             "lambda_max": lam,
             "trace_est": float(tr),
+            "dataset": source,
         },
     )
 

@@ -39,6 +39,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from .configs import KernelConfig, _is_kernel_config
 from ..linops.sharded import ShardedLinOp
 from ..ops.kernel_dispatch import kernel_matmat
+from ..parallel.distributed import axis_size
 from ..parallel.mesh import make_mesh, pad_to_multiple
 from ..utils.checkers import _is_array
 
@@ -76,8 +77,14 @@ class ShardedKernelLinOp(ShardedLinOp):
         self._check_inputs(A1, A2, kernel_config)
         if memory_mode not in ("replicated", "ring"):
             raise ValueError(f"unknown memory_mode {memory_mode!r}")
-        mesh = mesh if mesh is not None else make_mesh(axis=axis)
-        ndev = mesh.shape[axis]
+        if mesh is None:
+            if not isinstance(axis, str):
+                raise ValueError(
+                    "a multi-axis `axis` tuple requires an explicit mesh "
+                    "(see rlaopt_tpu.parallel.make_mesh_2d)"
+                )
+            mesh = make_mesh(axis=axis)
+        ndev = axis_size(mesh, axis)
         self.kind = kind
         self.impl = impl
         self.compute_dtype = compute_dtype
@@ -103,54 +110,102 @@ class ShardedKernelLinOp(ShardedLinOp):
             )
             specs["X2r"] = P()
 
-        ring = [(i, (i + 1) % ndev) for i in range(ndev)]
+        # Ring schedule. 1-D mesh: one ring over `axis`. Multi-axis mesh
+        # (e.g. ("dcn", "i")): hierarchical — the *fast* (last) axis rotates
+        # every step (ICI traffic), the slower axes shift once per completed
+        # inner cycle, so a (dcn, ici) mesh pays exactly n_dcn DCN hops per
+        # matvec while still visiting every shard once.
+        axes = (axis,) if isinstance(axis, str) else tuple(axis)
+        rings = {
+            a: [(i, (i + 1) % mesh.shape[a]) for i in range(mesh.shape[a])]
+            for a in axes
+        }
 
         if memory_mode == "ring":
-            # Operand enters column-sharded (like rmatvec's row sharding of
-            # padded A2); shards rotate around the ring. m_padded below.
-            def mv(dd, v_loc):
-                def body(carry, _):
-                    x2s, vs, acc = carry
-                    acc = acc + kernel_matmat(
-                        kind, dd["X1"], x2s, vs, dd["ls"], impl=impl, compute_dtype=compute_dtype
-                    )
-                    x2s = jax.lax.ppermute(x2s, axis, ring)
-                    vs = jax.lax.ppermute(vs, axis, ring)
-                    return (x2s, vs, acc), None
 
+            def _sweep(rotating, stationary, visit):
+                """Visit every shard position once.
+
+                ``rotating``: pytree that travels around the ring (shards,
+                and — for the adjoint — the accumulator that belongs to the
+                visiting shard). ``stationary``: pytree that stays home (the
+                forward accumulator). ``visit(rotating, stationary) ->
+                (rotating, stationary)`` computes with the currently-visiting
+                shards before each rotation.
+                """
+
+                def rot(carry, a):
+                    return jax.tree_util.tree_map(
+                        lambda t: jax.lax.ppermute(t, a, rings[a]), carry
+                    )
+
+                fast = axes[-1]
+                n_fast = mesh.shape[fast]
+
+                def inner_body(carry, _):
+                    moving, staying = visit(*carry)
+                    return (rot(moving, fast), staying), None
+
+                if len(axes) == 1:
+                    carry, _ = jax.lax.scan(
+                        inner_body, (rotating, stationary), None, length=n_fast
+                    )
+                    return carry
+                slow = axes[0]
+                n_slow = mesh.shape[slow]
+
+                def outer_body(carry, _):
+                    (moving, staying), _ = jax.lax.scan(
+                        inner_body, carry, None, length=n_fast
+                    )
+                    return (rot(moving, slow), staying), None
+
+                carry, _ = jax.lax.scan(
+                    outer_body, (rotating, stationary), None, length=n_slow
+                )
+                return carry
+
+            # Operand enters sharded like the padded A2 rows; (X2 shard,
+            # operand shard) pairs rotate while each device accumulates its
+            # output rows in place.
+            def mv(dd, v_loc):
                 k_rhs = v_loc.shape[1] if v_loc.ndim == 2 else None
                 acc0 = jnp.zeros(
                     (dd["X1"].shape[0],) + (() if k_rhs is None else (k_rhs,)),
                     dtype=v_loc.dtype,
                 )
-                (_, _, acc), _ = jax.lax.scan(
-                    body, (dd["X2s"], v_loc, acc0), None, length=ndev
-                )
+
+                def visit(moving, acc):
+                    x2s, vs = moving
+                    acc = acc + kernel_matmat(
+                        kind, dd["X1"], x2s, vs, dd["ls"],
+                        impl=impl, compute_dtype=compute_dtype,
+                    )
+                    return (x2s, vs), acc
+
+                _, acc = _sweep((dd["X2s"], v_loc), acc0, visit)
                 return acc
 
             def rmv(dd, y_loc):
                 # Kᵀ y: rotate (X2 shard, output accumulator) pairs; each
                 # device adds its k(X2_shard, X1_loc) @ y_loc contribution to
-                # the accumulator currently visiting it.
-                def body(carry, _):
-                    x2s, acc = carry
-                    acc = acc + kernel_matmat(
-                        kind, x2s, dd["X1"], y_loc, dd["ls"], impl=impl, compute_dtype=compute_dtype
-                    )
-                    x2s = jax.lax.ppermute(x2s, axis, ring)
-                    acc = jax.lax.ppermute(acc, axis, ring)
-                    return (x2s, acc), None
-
+                # the accumulator currently visiting it. After the sweep each
+                # accumulator is back home holding the full column sum.
                 k_rhs = y_loc.shape[1] if y_loc.ndim == 2 else None
                 acc0 = jnp.zeros(
                     (dd["X2s"].shape[0],) + (() if k_rhs is None else (k_rhs,)),
                     dtype=y_loc.dtype,
                 )
-                (_, acc), _ = jax.lax.scan(
-                    body, (dd["X2s"], acc0), None, length=ndev
-                )
-                # After ndev hops each accumulator is back home holding the
-                # full column sum for its shard.
+
+                def visit(moving, _none):
+                    x2s, acc = moving
+                    acc = acc + kernel_matmat(
+                        kind, x2s, dd["X1"], y_loc, dd["ls"],
+                        impl=impl, compute_dtype=compute_dtype,
+                    )
+                    return (x2s, acc), _none
+
+                (_, acc), _ = _sweep((dd["X2s"], acc0), (), visit)
                 return acc
 
         else:
@@ -306,7 +361,7 @@ class ShardedKernelLinOp(ShardedLinOp):
         x1b = self._gather_rows_A1(blk)
         x2b = self._gather_rows_A2(blk)
         b = x1b.shape[0]
-        ndev = self.mesh.shape[self.axis]
+        ndev = axis_size(self.mesh, self.axis)
         b_pad = -(-b // ndev) * ndev
         if b_pad != b:
             x1b_s = jnp.pad(x1b, ((0, b_pad - b), (0, 0)))

@@ -21,6 +21,11 @@ transpose               flips mode — metadata only, no workers      —
 
 Ragged sizes are handled by zero-padding the sharded dim to a multiple of the
 mesh size (padded rows multiply zeros / are sliced off).
+
+Multi-host: ``axis`` may be a tuple of mesh axis names (e.g. ``("dcn", "i")``
+on a 2-D multi-slice mesh from :func:`rlaopt_tpu.parallel.make_mesh_2d`); the
+sharded dim is then split over all named axes and collectives reduce over the
+tuple, so psum partial sums ride ICI within a slice and DCN across slices.
 """
 
 from typing import Any, Callable, Optional, Tuple
@@ -63,6 +68,11 @@ class ShardedLinOp(TwoSidedLinOp):
         mode: "row" or "column".
         axis: mesh axis name.
         padded_shape: physical (padded) shape if the sharded dim was padded.
+        gather_idx: logical→physical index map along the sharded dim, for
+            ragged per-device chunks whose padding is interleaved (each
+            device's segment is real entries followed by zeros). ``None``
+            means padding, if any, sits at the physical end (contiguous
+            chunks), where a plain slice suffices.
     """
 
     def __init__(
@@ -78,6 +88,7 @@ class ShardedLinOp(TwoSidedLinOp):
         dtype: Any = jnp.float32,
         padded_shape: Optional[Tuple[int, int]] = None,
         scale: Any = 1.0,
+        gather_idx: Optional[jax.Array] = None,
     ):
         super().__init__(
             shape,
@@ -94,13 +105,25 @@ class ShardedLinOp(TwoSidedLinOp):
         self.mode = _DistributionMode._from_str(mode, "mode")
         self.data_specs = data_specs
         self.padded_shape = tuple(padded_shape or shape)
+        self.gather_idx = gather_idx
 
     # -- helpers -------------------------------------------------------------
     def _pad_operand(self, x, target: int):
         if x.shape[0] == target:
             return x
+        if self.gather_idx is not None:
+            # Ragged chunks: real entries sit at gather_idx inside the padded
+            # layout; scatter them there and leave zeros elsewhere.
+            z = jnp.zeros((target,) + x.shape[1:], x.dtype)
+            return z.at[self.gather_idx].set(x)
         pad = [(0, target - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
         return jnp.pad(x, pad)
+
+    def _collect_sharded(self, out, logical_len: int):
+        """Drop padding from a sharded-dim output (slice or ragged gather)."""
+        if self.gather_idx is not None:
+            return out[self.gather_idx]
+        return out[:logical_len]
 
     def _shmap(self, fn, in_specs, out_specs):
         return jax.shard_map(
@@ -115,7 +138,9 @@ class ShardedLinOp(TwoSidedLinOp):
             in_specs=(self.data_specs, _spec_nd(None, x.ndim, False)),
             out_specs=_spec_nd(self.axis, x.ndim, True),
         )(self._data, x)
-        return out[: self.shape[0]] if self.mode == _DistributionMode.ROW else out
+        if self.mode == _DistributionMode.ROW:
+            return self._collect_sharded(out, self.shape[0])
+        return out
 
     def _row_adjoint(self, local_fn, y, padded_len: int, out_len: int):
         """Operand sharded like rows, psum partials (sum-combine)."""
@@ -162,7 +187,7 @@ class ShardedLinOp(TwoSidedLinOp):
             in_specs=(self.data_specs, _spec_nd(None, y.ndim, False)),
             out_specs=_spec_nd(self.axis, y.ndim, True),
         )(self._data, y)
-        return out[: self.shape[1]]
+        return self._collect_sharded(out, self.shape[1])
 
     @property
     def T(self) -> "ShardedLinOp":
@@ -178,6 +203,19 @@ class ShardedLinOp(TwoSidedLinOp):
             if self.mode == _DistributionMode.ROW
             else _DistributionMode.ROW
         )
+        return new
+
+    def _with_data(self, data) -> "ShardedLinOp":
+        """Shallow copy with the payload replaced.
+
+        Lets jitted solver loops pass the (possibly multi-host) payload as a
+        jit ARGUMENT and rebind it to the operator inside the trace — closing
+        over arrays that span non-addressable devices is illegal under
+        ``jax.distributed``.
+        """
+        new = object.__new__(type(self))
+        new.__dict__.update(self.__dict__)
+        new._data = data
         return new
 
     def shutdown(self):
@@ -200,24 +238,50 @@ class ShardedLinOp(TwoSidedLinOp):
 
         Reference-style constructor (``DistributedLinOp(A=[ops...], ...)``,
         ``rlaopt/linops/distributed.py:15-94``): ``ops`` are same-structure
-        payload-style LinOps over equal-size chunks (one per mesh device);
-        their payload leaves are stacked along a new leading axis sharded
-        over the mesh, and the first op's functions run on the local slice.
+        payload-style LinOps (one per mesh device); their payload leaves are
+        stacked along a new leading axis sharded over the mesh, and the first
+        op's functions run on the local slice.
+
+        Ragged chunks are accepted, matching the reference's ``torch.chunk``
+        ergonomics (``rlaopt/linops/base.py:297-302``): the ops may differ in
+        size along the sharded dim. Each payload leaf is zero-padded to the
+        per-axis max before stacking, and outputs/operands are mapped through
+        an internal gather index, so results match the unpadded concatenation
+        exactly. The local ops' functions must map zero payload rows/columns
+        to zero outputs (true of every payload-style linop in this package).
         """
-        ndev = mesh.shape[axis]
+        from ..parallel.distributed import axis_size
+
+        ndev = axis_size(mesh, axis)
         if len(ops) != ndev:
             raise ValueError(
                 f"need one local op per device ({ndev}), got {len(ops)}"
             )
-        shapes = {op.shape for op in ops}
-        if len(shapes) != 1:
+        shard_dim = 0 if mode == "row" else 1
+        other_dim = 1 - shard_dim
+        other_sizes = {op.shape[other_dim] for op in ops}
+        if len(other_sizes) != 1:
             raise ValueError(
-                "local ops must have equal shapes (pad ragged chunks); "
-                f"got {sorted(shapes)}"
+                "local ops must agree along the non-sharded dim; "
+                f"got sizes {sorted(other_sizes)}"
             )
-        loc_rows, loc_cols = ops[0].shape
+        loc_sizes = [op.shape[shard_dim] for op in ops]
+        loc_max = max(loc_sizes)
+        ragged = len(set(loc_sizes)) != 1
+
+        def stack_pad(*leaves):
+            target = tuple(
+                max(lf.shape[a] for lf in leaves)
+                for a in range(leaves[0].ndim)
+            )
+            padded = [
+                jnp.pad(lf, [(0, t - s) for s, t in zip(lf.shape, target)])
+                for lf in leaves
+            ]
+            return jnp.stack(padded, axis=0)
+
         stacked = jax.tree_util.tree_map(
-            lambda *leaves: jnp.stack(leaves, axis=0), *[op.data for op in ops]
+            stack_pad, *[op.data for op in ops]
         )
         nspec = jax.tree_util.tree_map(lambda _: P(axis), stacked)
         proto = ops[0]
@@ -234,10 +298,21 @@ class ShardedLinOp(TwoSidedLinOp):
             local = jax.tree_util.tree_map(lambda l: l[0], dd)
             return proto._rmv(local, x)
 
+        n_logical = sum(loc_sizes)
         if mode == "row":
-            shape = (loc_rows * ndev, loc_cols)
+            shape = (n_logical, ops[0].shape[1])
+            padded_shape = (loc_max * ndev, ops[0].shape[1])
         else:
-            shape = (loc_rows, loc_cols * ndev)
+            shape = (ops[0].shape[0], n_logical)
+            padded_shape = (ops[0].shape[0], loc_max * ndev)
+        gather_idx = None
+        if ragged:
+            gather_idx = jnp.concatenate(
+                [
+                    dev * loc_max + jnp.arange(sz)
+                    for dev, sz in enumerate(loc_sizes)
+                ]
+            )
         return cls(
             shape,
             mv,
@@ -248,6 +323,8 @@ class ShardedLinOp(TwoSidedLinOp):
             mode=mode,
             axis=axis,
             dtype=proto.dtype,
+            padded_shape=padded_shape,
+            gather_idx=gather_idx,
         )
 
     @classmethod
@@ -259,9 +336,10 @@ class ShardedLinOp(TwoSidedLinOp):
         axis: str = "i",
     ) -> "ShardedLinOp":
         """Shard a dense matrix over the mesh as a matrix-free operator."""
+        from ..parallel.distributed import axis_size
         from ..parallel.mesh import pad_to_multiple
 
-        ndev = mesh.shape[axis]
+        ndev = axis_size(mesh, axis)
         shard_dim = 0 if mode == "row" else 1
         Mp, _ = pad_to_multiple(M, ndev, axis=shard_dim)
         if shard_dim == 1:

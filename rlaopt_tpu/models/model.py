@@ -103,7 +103,10 @@ class Model(ABC):
         Checkpoint/resume (TPU addition; the reference has none): with a
         ``checkpointer``, (solver state, mask) is saved every
         ``checkpoint_freq`` logging rounds; ``resume=True`` restores the
-        latest checkpoint and continues from its iteration.
+        latest checkpoint and continues from its iteration. The log history
+        and cumulative wall-clock are saved alongside (JSON sidecar), so a
+        resumed solve's returned ``log`` covers the whole run and ``cum_time``
+        keeps accumulating instead of restarting from zero.
         """
         log = {}
 
@@ -115,6 +118,10 @@ class Model(ABC):
             solver.state = payload["state"]
             self._mask = payload["mask"]
             i = step
+            aux = checkpointer.restore_aux(step)
+            if aux is not None:
+                log.update({int(k): v for k, v in aux.get("log", {}).items()})
+                logger.cum_time = float(aux.get("cum_time", 0.0))
 
         log[i] = logger._compute_log(0, solver.W)
         if termination_fn(log[i]["metrics"]["internal_metrics"]):
@@ -134,7 +141,9 @@ class Model(ABC):
                     rounds % checkpoint_freq == 0 or converged
                 ):
                     checkpointer.save(
-                        i, {"state": solver.state, "mask": self._mask}
+                        i,
+                        {"state": solver.state, "mask": self._mask},
+                        aux={"log": log, "cum_time": logger.cum_time},
                     )
                 if converged:
                     break

@@ -7,24 +7,32 @@ The performance-critical replacement for the reference's KeOps engine
 * grid = (row tiles × col tiles); the col-tile dimension is sequential and
   accumulates into a VMEM scratch tile, so each (TM, TN) kernel tile lives
   only inside the kernel body;
-* squared-distance kernels (RBF / Matérn) compute the tile via the MXU
-  expansion ``‖x‖² + ‖y‖² − 2·x·yᵀ`` — the dominant FLOPs run on the
-  systolic array — then apply the transcendental on the VPU and contract
-  with the RHS tile on the MXU again;
+* squared-distance kernels (RBF / Matérn) compute the tile on the MXU with
+  the **norms folded into the contraction**: the inputs are augmented with
+  two extra feature columns ``[X | −hx | 1]`` / rows ``[Yᵀ ; 1 ; −hy]`` so a
+  single dot yields the exp argument (RBF) or the squared distance (Matérn)
+  directly — the VPU epilogue is just the transcendental, which pipelines
+  under the next tile's MXU work;
+* split-precision operands (bf16 hi/lo pairs) are prepared **outside** the
+  kernel, once per operand instead of once per tile visit;
 * the Laplace (L1) kernel loops features on the VPU (no matmul form exists);
 * inputs are pre-scaled by the lengthscale (ARD included) outside the kernel;
   row/col/feature padding is zero-filled, which is exact: zero features don't
-  change distances, padded RHS rows are zero, padded output rows are sliced.
+  change distances, padded RHS rows are zero, padded output rows are sliced;
+* tile sizes default to the largest (TM, TN) fitting a VMEM budget — the
+  TPU analog of the reference's device-query launch-config helper
+  (``rlaopt/csrc/cuda/cuda_specific.cu:13-94``, SURVEY N9).
 
 ``compute_dtype`` selects the cross-term speed/accuracy tier (measured on
-the round-1 chip at n=m=16384, d=256):
+the round-2 chip at n=m=16384, d=256, k=8; chip matmul peak 91.5 TF that
+session):
 
 =============  ==========================  ===================
-value           accuracy (rel, vs f64-ish)  throughput
+value           accuracy (rel, vs f64-ish)  MXU passes over d
 =============  ==========================  ===================
-None (default)  3e-7 (exact f32)            14.8 TFLOP/s
-"bf16x3"        8e-7 (split-precision)      18.8 TFLOP/s
-"bfloat16"      4e-3                        31.9 TFLOP/s
+None (default)  ~3e-7 (exact f32)           6 (HIGHEST)
+"bf16x3"        ~8e-7 (split-precision)     3
+"bfloat16"      ~4e-3                       1
 =============  ==========================  ===================
 """
 
@@ -41,10 +49,63 @@ from jax.experimental.pallas import tpu as pltpu
 from ..kernels.functions import scale_inputs
 
 
-__all__ = ["kernel_matmat_pallas"]
+__all__ = ["kernel_matmat_pallas", "select_tiles"]
 
 _SQRT3 = 3.0**0.5
 _SQRT5 = 5.0**0.5
+
+# VMEM budget for tile selection against the ~16 MiB scoped-vmem limit.
+# Footprint model (validated against Mosaic's scoped-vmem report on v5e):
+# 2 pipeline stages per streamed block + out, PLUS ~2 live (TM, TN) f32
+# kernel-tile intermediates (the contraction output and the transcendental
+# result) — the latter dominate for large tiles.
+_VMEM_BUDGET_BYTES = 13 * 1024 * 1024
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def select_tiles(
+    n: int,
+    m: int,
+    d_p: int,
+    k_p: int,
+    kind: str,
+    compute_dtype,
+) -> tuple:
+    """Pick (tile_m, tile_n): the largest MXU-aligned tiles whose working set
+    fits the VMEM budget (N9 analog — the reference queries device props for
+    launch config; here the budget drives block shapes).
+    """
+    if kind == "laplace":
+        # VPU-bound feature loop: modest tiles keep the unrolled loop body
+        # within Mosaic's happy path.
+        return (min(256, _round_up(n, 8)), min(256, _round_up(m, 128)))
+    # Bytes per feature-matrix element as streamed into VMEM:
+    # f32 exact = 4; bf16 hi+lo pair = 4; single bf16 = 2.
+    in_bytes = 2 if compute_dtype == "bfloat16" else 4
+    candidates = [
+        (1024, 2048), (1024, 1024), (512, 2048), (512, 1024),
+        (512, 512), (256, 512), (256, 256), (128, 256), (128, 128),
+        (64, 128), (32, 128), (16, 128), (8, 128),
+    ]
+    for tm, tn in candidates:
+        tm_c = min(tm, _round_up(n, 8))
+        tn_c = min(tn, _round_up(m, 128))
+        work = (
+            2 * (
+                tm_c * d_p * in_bytes
+                + d_p * tn_c * in_bytes
+                + tn_c * k_p * 4
+                + tm_c * k_p * 4
+            )
+            + 2 * tm_c * tn_c * 4  # live kernel-tile intermediates
+            + tm_c * k_p * 4  # accumulator scratch
+        )
+        if work <= _VMEM_BUDGET_BYTES:
+            return (tm_c, tn_c)
+    return (8, 128)
 
 
 def _sqdist_direct(xi, xjT, d_orig):
@@ -65,72 +126,8 @@ def _sqdist_direct(xi, xjT, d_orig):
     return acc
 
 
-def _tile_formula(kind, xi, xjT, compute_dtype, direct_d=None):
-    """Evaluate the kernel tile k(xi, xj) for one (TM, TN) block.
-
-    ``xjT`` is the column-tile in (d, TN) orientation so the cross term is a
-    natural (TM, d) @ (d, TN) MXU matmul — no per-tile transpose.
-    ``direct_d``: when set, compute squared distances with the exact VPU
-    path over that many features instead of the MXU expansion.
-    """
-    f32 = jnp.float32
-    if kind == "laplace":
-        tm, tn = xi.shape[0], xjT.shape[1]
-        d_iter = direct_d if direct_d is not None else xi.shape[1]
-        l1 = jnp.zeros((tm, tn), dtype=f32)
-        for f in range(d_iter):  # static unroll (see _sqdist_direct)
-            l1 = l1 + jnp.abs(xi[:, f : f + 1] - xjT[f : f + 1, :])
-        return jnp.exp(-l1)
-
-    if direct_d is not None:
-        d2 = _sqdist_direct(xi, xjT, direct_d)
-        if kind == "rbf":
-            return jnp.exp(-0.5 * d2)
-        r = jnp.sqrt(d2)
-        if kind == "matern12":
-            return jnp.exp(-r)
-        if kind == "matern32":
-            return (1.0 + _SQRT3 * r) * jnp.exp(-_SQRT3 * r)
-        if kind == "matern52":
-            return (1.0 + _SQRT5 * r + (5.0 / 3.0) * d2) * jnp.exp(-_SQRT5 * r)
-        raise ValueError(f"Unknown kernel kind {kind!r}")
-
-    xn = jnp.sum(xi.astype(f32) ** 2, axis=1, keepdims=True)  # (TM, 1)
-    yn = jnp.sum(xjT.astype(f32) ** 2, axis=0, keepdims=True)  # (1, TN)
-    dn = (((1,), (0,)), ((), ()))
-    if compute_dtype == "bf16x3":
-        # Manual 3-pass split precision (Mosaic rejects Precision.HIGH):
-        # x = hi + lo in bf16 pairs; x·y ≈ hi·hi + hi·lo + lo·hi — near-f32
-        # accuracy at ~2x the 6-pass HIGHEST throughput.
-        bf16 = jnp.bfloat16
-        xi_hi = xi.astype(bf16)
-        xi_lo = (xi - xi_hi.astype(f32)).astype(bf16)
-        yj_hi = xjT.astype(bf16)
-        yj_lo = (xjT - yj_hi.astype(f32)).astype(bf16)
-        cross = (
-            jax.lax.dot_general(xi_hi, yj_hi, dn, preferred_element_type=f32)
-            + jax.lax.dot_general(xi_hi, yj_lo, dn, preferred_element_type=f32)
-            + jax.lax.dot_general(xi_lo, yj_hi, dn, preferred_element_type=f32)
-        )
-    else:
-        if compute_dtype is not None:
-            xi = xi.astype(compute_dtype)
-            xjT = xjT.astype(compute_dtype)
-            precision = None
-        else:
-            # Explicit HIGHEST: the runtime may set
-            # --xla_allow_excess_precision, which silently demotes f32 dots
-            # to bf16 — ~1e-2 kernel-value noise that stalls CG solves
-            # around 1e-2 relative residual.
-            precision = lax.Precision.HIGHEST
-        cross = jax.lax.dot_general(
-            xi,
-            xjT,
-            dimension_numbers=dn,
-            preferred_element_type=f32,
-            precision=precision,
-        )  # (TM, TN)
-    d2 = jnp.maximum(xn + yn - 2.0 * cross, 0.0)
+def _finish_sqdist(kind, d2):
+    """Kernel value from the squared distance (Matérn family + RBF)."""
     if kind == "rbf":
         return jnp.exp(-0.5 * d2)
     r = jnp.sqrt(d2)
@@ -143,30 +140,125 @@ def _tile_formula(kind, xi, xjT, compute_dtype, direct_d=None):
     raise ValueError(f"Unknown kernel kind {kind!r}")
 
 
-def _kernel_body(
-    x1_ref, x2_ref, v_ref, o_ref, acc_ref, *, kind, nj, compute_dtype,
-    direct_d=None,
-):
+def _finish_dot(kind, cross, hx, hy):
+    """Kernel value from the MXU cross term plus precomputed norm vectors.
+
+    The constants are folded into the operands outside the kernel so the
+    epilogue is two broadcast subtractions plus the transcendental:
+    RBF passes hx = ‖x‖²/2 (cross = x·y, so ``cross − hx − hy = −d²/2``);
+    Matérn pre-scales the X operand by 2 and passes hx = ‖x‖²
+    (``hx + hy − cross = d²``).
+    """
+    if kind == "rbf":
+        return jnp.exp(cross - hx - hy)
+    return _finish_sqdist(kind, jnp.maximum(hx + hy - cross, 0.0))
+
+
+def _acc_update(acc_ref, k_tile, v_ref, exact_acc: bool):
+    precision = lax.Precision.HIGHEST if exact_acc else None
+    acc_ref[:] += lax.dot_general(
+        k_tile,
+        v_ref[:].astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+
+_DN = (((1,), (0,)), ((), ()))
+
+
+def _body_exact(x_ref, y_ref, hx_ref, hy_ref, v_ref, o_ref, acc_ref, *, kind, nj):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    k_tile = _tile_formula(
-        kind, x1_ref[:], x2_ref[:], compute_dtype, direct_d=direct_d
-    )
-    if compute_dtype is None or compute_dtype == "bf16x3":
-        acc_precision = jax.lax.Precision.HIGHEST
-    else:
-        acc_precision = None
-    acc_ref[:] += jax.lax.dot_general(
-        k_tile,
-        v_ref[:].astype(jnp.float32),
-        dimension_numbers=(((1,), (0,)), ((), ())),
+    # Explicit HIGHEST: the runtime may set --xla_allow_excess_precision,
+    # which silently demotes f32 dots to bf16 — ~1e-2 kernel-value noise
+    # that stalls CG solves around 1e-2 relative residual.
+    cross = lax.dot_general(
+        x_ref[:], y_ref[:], _DN,
         preferred_element_type=jnp.float32,
-        precision=acc_precision,
+        precision=lax.Precision.HIGHEST,
     )
+    _acc_update(
+        acc_ref, _finish_dot(kind, cross, hx_ref[:], hy_ref[:]), v_ref, True
+    )
+
+    @pl.when(j == nj - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _body_split(
+    xh_ref, xl_ref, yh_ref, yl_ref, hx_ref, hy_ref, v_ref, o_ref, acc_ref,
+    *, kind, nj,
+):
+    """bf16x3: 3 full-rate MXU passes ≈ f32-accurate cross terms.
+
+    The hi/lo bf16 operand pairs are prepared outside the kernel (once per
+    operand instead of once per tile visit); the lo·lo term (≤2⁻¹⁸ relative)
+    is dropped. Mosaic rejects Precision.HIGH, hence the manual splitting.
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    f32 = jnp.float32
+    cross = (
+        lax.dot_general(xh_ref[:], yh_ref[:], _DN, preferred_element_type=f32)
+        + lax.dot_general(xh_ref[:], yl_ref[:], _DN, preferred_element_type=f32)
+        + lax.dot_general(xl_ref[:], yh_ref[:], _DN, preferred_element_type=f32)
+    )
+    _acc_update(
+        acc_ref, _finish_dot(kind, cross, hx_ref[:], hy_ref[:]), v_ref, True
+    )
+
+    @pl.when(j == nj - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _body_bf16(x_ref, y_ref, hx_ref, hy_ref, v_ref, o_ref, acc_ref, *, kind, nj):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    cross = lax.dot_general(
+        x_ref[:], y_ref[:], _DN, preferred_element_type=jnp.float32
+    )
+    _acc_update(
+        acc_ref, _finish_dot(kind, cross, hx_ref[:], hy_ref[:]), v_ref, False
+    )
+
+    @pl.when(j == nj - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _body_direct(x_ref, y_ref, v_ref, o_ref, acc_ref, *, kind, nj, d_orig):
+    """Small-d exact path: VPU feature loop, no MXU padding waste."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    if kind == "laplace":
+        tm, tn = x_ref.shape[0], y_ref.shape[1]
+        l1 = jnp.zeros((tm, tn), dtype=jnp.float32)
+        for f in range(d_orig):  # static unroll (see _sqdist_direct)
+            l1 = l1 + jnp.abs(x_ref[:, f : f + 1] - y_ref[f : f + 1, :])
+        k_tile = jnp.exp(-l1)
+    else:
+        k_tile = _finish_sqdist(kind, _sqdist_direct(x_ref[:], y_ref[:], d_orig))
+    _acc_update(acc_ref, k_tile, v_ref, True)
 
     @pl.when(j == nj - 1)
     def _():
@@ -175,12 +267,34 @@ def _kernel_body(
 
 def _pad_axis(x, multiple, axis):
     n = x.shape[axis]
-    target = -(-n // multiple) * multiple
+    target = _round_up(n, multiple)
     if target == n:
         return x
     widths = [(0, 0)] * x.ndim
     widths[axis] = (0, target - n)
     return jnp.pad(x, widths)
+
+
+def _norms_and_operands(kind, Xs, Ys):
+    """Precompute the norm vectors and fold constants into the operands.
+
+    RBF: hx = ‖x‖²/2, hy = ‖y‖²/2, cross operand = Xs (so the epilogue is
+    ``exp(cross − hx − hy)``). Matérn: hx = ‖x‖², hy = ‖y‖², cross operand
+    = 2·Xs (exact power-of-two scale; epilogue ``max(hx + hy − cross, 0)``).
+    """
+    f32 = jnp.float32
+    xn = jnp.sum(Xs.astype(f32) ** 2, axis=1, keepdims=True)  # (n, 1)
+    yn = jnp.sum(Ys.astype(f32) ** 2, axis=1, keepdims=True)  # (m, 1)
+    if kind == "rbf":
+        return Xs, Ys.T, 0.5 * xn, 0.5 * yn.T
+    return 2.0 * Xs, Ys.T, xn, yn.T
+
+
+def _split_bf16(A):
+    """A = hi + lo with both parts bf16; exact to ~2⁻¹⁸ relative."""
+    hi = A.astype(jnp.bfloat16)
+    lo = (A - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
 
 
 @functools.partial(
@@ -194,15 +308,15 @@ def kernel_matmat_pallas(
     V: jax.Array,
     lengthscale,
     const_scaling=1.0,
-    tile_m: int = 256,
-    tile_n: int = 512,
+    tile_m: Optional[int] = None,
+    tile_n: Optional[int] = None,
     compute_dtype: Optional[str] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused ``c·k(X1, X2) @ V`` on TPU (see module docstring).
 
     Args mirror :func:`rlaopt_tpu.ops.kernel_xla.kernel_matmat_xla`; extra
-    knobs: tile sizes and the optional bf16 fast path.
+    knobs: tile sizes (default: VMEM-budget autotuned) and the accuracy tier.
     """
     squeeze = V.ndim == 1
     if squeeze:
@@ -214,46 +328,84 @@ def kernel_matmat_pallas(
     Xs = scale_inputs(X1, lengthscale)
     Ys = scale_inputs(X2, lengthscale)
 
-    # Laplace tiles are VPU-bound; keep them small.
+    cd = compute_dtype
+    if cd is not None and cd not in ("bf16x3", "bfloat16"):
+        cd = str(jnp.dtype(cd))
+        if cd != "bfloat16":
+            raise ValueError(f"unsupported compute_dtype {compute_dtype!r}")
+
+    # Path selection: exact small-d VPU loop dodges 128-lane padding AND
+    # excess-precision demotion; Laplace has no matmul form at any d.
+    direct = kind == "laplace" or (cd in (None, "bf16x3") and d <= 32)
+
+    k_p8 = _round_up(k, 8)
+    if tile_m is None or tile_n is None:
+        d_for_budget = _round_up(d, 128)
+        tm_auto, tn_auto = select_tiles(n, m, d_for_budget, k_p8, kind, cd)
+        tile_m = tile_m or tm_auto
+        tile_n = tile_n or tn_auto
     if kind == "laplace":
         tile_m, tile_n = min(tile_m, 256), min(tile_n, 256)
 
-    Xs = _pad_axis(_pad_axis(Xs, tile_m, 0), 128, 1)
-    Ys = _pad_axis(_pad_axis(Ys, tile_n, 0), 128, 1)
-    YsT = Ys.T  # (d_p, m_p): natural MXU orientation for the cross matmul
+    norm_inputs = []
+    norm_specs = []
+    if direct:
+        Xp = _pad_axis(_pad_axis(Xs, tile_m, 0), 128, 1)
+        Yp = _pad_axis(_pad_axis(Ys, tile_n, 0), 128, 1)
+        inputs = [Xp, Yp.T]
+        body = functools.partial(
+            _body_direct, kind=kind, nj=Yp.shape[0] // tile_n, d_orig=d
+        )
+    else:
+        Xc, YcT, hx, hyT = _norms_and_operands(kind, Xs, Ys)
+        Xc = _pad_axis(_pad_axis(Xc, tile_m, 0), 128, 1)
+        YcT = _pad_axis(_pad_axis(YcT, 128, 0), tile_n, 1)
+        hx = _pad_axis(hx, tile_m, 0)  # (n_p, 1); zero rows → zero norms
+        hyT = _pad_axis(hyT, tile_n, 1)  # (1, m_p)
+        norm_inputs = [hx, hyT]
+        norm_specs = [
+            pl.BlockSpec((tile_m, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, tile_n), lambda i, j: (0, j)),
+        ]
+        nj = YcT.shape[1] // tile_n
+        if cd == "bf16x3":
+            xh, xl = _split_bf16(Xc)
+            yh, yl = _split_bf16(YcT)
+            inputs = [xh, xl, yh, yl]
+            body = functools.partial(_body_split, kind=kind, nj=nj)
+        elif cd == "bfloat16":
+            inputs = [Xc.astype(jnp.bfloat16), YcT.astype(jnp.bfloat16)]
+            body = functools.partial(_body_bf16, kind=kind, nj=nj)
+        else:
+            inputs = [Xc, YcT]
+            body = functools.partial(_body_exact, kind=kind, nj=nj)
+
+    n_p = inputs[0].shape[0]
+    d_p = inputs[0].shape[1]
     Vp = _pad_axis(_pad_axis(V, tile_n, 0), 8, 1)
-    n_p, d_p = Xs.shape
-    m_p = Ys.shape[0]
+    m_p = Vp.shape[0]
     k_p = Vp.shape[1]
     ni, nj = n_p // tile_m, m_p // tile_n
 
-    if compute_dtype is None or compute_dtype == "bf16x3":
-        cd = compute_dtype
+    x_spec = pl.BlockSpec((tile_m, d_p), lambda i, j: (i, 0))
+    y_spec = pl.BlockSpec((d_p, tile_n), lambda i, j: (0, j))
+    n_x = len(inputs) // 2
+    in_specs = [x_spec] * n_x + [y_spec] * n_x + norm_specs + [
+        pl.BlockSpec((tile_n, k_p), lambda i, j: (j, 0))
+    ]
+    inputs = inputs + norm_inputs
+
+    if cd == "bfloat16":
+        flops = 2 * n_p * m_p * (d_p + k_p)
+    elif cd == "bf16x3":
+        flops = 2 * n_p * m_p * (3 * d_p + k_p)
     else:
-        cd = jnp.dtype(compute_dtype)
-    # Small-d accurate path: exact VPU squared distances beat the 128-padded
-    # HIGHEST-precision MXU expansion and dodge excess-precision demotion.
-    # Laplace always iterates features; cap its unroll at the true d.
-    if kind == "laplace":
-        direct_d = d
-    else:
-        direct_d = d if (cd in (None, "bf16x3") and d <= 32) else None
-    body = functools.partial(
-        _kernel_body,
-        kind=kind,
-        nj=nj,
-        compute_dtype=cd,
-        direct_d=direct_d,
-    )
+        flops = 2 * n_p * m_p * (6 * d_p + k_p)
 
     out = pl.pallas_call(
         body,
         grid=(ni, nj),
-        in_specs=[
-            pl.BlockSpec((tile_m, d_p), lambda i, j: (i, 0)),
-            pl.BlockSpec((d_p, tile_n), lambda i, j: (0, j)),
-            pl.BlockSpec((tile_n, k_p), lambda i, j: (j, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((tile_m, k_p), lambda i, j: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((n_p, k_p), V.dtype),
         scratch_shapes=[pltpu.VMEM((tile_m, k_p), jnp.float32)],
@@ -261,12 +413,12 @@ def kernel_matmat_pallas(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_p * m_p * (d_p + k_p),
+            flops=flops,
             bytes_accessed=(n_p * d_p + m_p * d_p + m_p * k_p + n_p * k_p) * 4,
             transcendentals=n_p * m_p,
         ),
         interpret=interpret,
-    )(Xs, YsT, Vp)
+    )(*inputs, Vp)
 
     out = out[:n, :k] * jnp.asarray(const_scaling, V.dtype)
     return out[:, 0] if squeeze else out

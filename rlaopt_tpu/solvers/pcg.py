@@ -53,6 +53,13 @@ def _op_mm(A, X):
     return hmm(A, X)
 
 
+def _is_sharded_payload_operand(A) -> bool:
+    """Mesh-sharded operator whose payload should travel as a jit argument."""
+    from ..linops.sharded import ShardedLinOp
+
+    return isinstance(A, ShardedLinOp)
+
+
 def _is_pytree_operand(A) -> bool:
     """True when A can travel through jit as an operand pytree."""
     import numpy as np
@@ -179,6 +186,7 @@ class PCG(Solver):
         # upload limit). Sharded operators (not pytrees; carry a Mesh) are
         # closed over — their payloads are already placed.
         self._pass_A = _is_pytree_operand(A)
+        self._pass_data = not self._pass_A and _is_sharded_payload_operand(A)
 
         if self._pass_A:
 
@@ -198,6 +206,30 @@ class PCG(Solver):
             # A as argument (not a closure constant) — see chunk note above.
             self._init_fn = lambda B, reg, W, pstate: init(
                 self.system.A, B, reg, W, pstate
+            )
+            self.state = self._init_fn(system.B, self._reg, W0, self._pstate)
+        elif _is_sharded_payload_operand(A):
+            # Sharded operators carry a Mesh (not jit operands) but their
+            # payload arrays may span non-addressable devices under
+            # jax.distributed — closing over those is illegal. Pass the
+            # payload as an argument and rebind inside the trace.
+            @partial(jax.jit, static_argnames=("n_steps",))
+            def chunk(A_data, reg, pstate, state, mask, n_steps):
+                A_loc = A._with_data(A_data)
+
+                def body(s, _):
+                    return pcg_step(A_loc, reg, inv_fn, pstate, s, mask), None
+
+                state, _ = jax.lax.scan(body, state, None, length=n_steps)
+                return state
+
+            init = jax.jit(
+                lambda A_data, B, reg, W, pstate: pcg_init(
+                    A._with_data(A_data), B, reg, W, inv_fn, pstate
+                )
+            )
+            self._init_fn = lambda B, reg, W, pstate: init(
+                A._data, B, reg, W, pstate
             )
             self.state = self._init_fn(system.B, self._reg, W0, self._pstate)
         else:
@@ -251,6 +283,15 @@ class PCG(Solver):
         if self._pass_A:
             self.state = self._chunk_fn(
                 self.system.A,
+                self._reg,
+                self._pstate,
+                self.state,
+                self.system.mask,
+                n_steps=n_steps,
+            )
+        elif self._pass_data:
+            self.state = self._chunk_fn(
+                self.system.A._data,
                 self._reg,
                 self._pstate,
                 self.state,

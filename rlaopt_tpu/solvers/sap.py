@@ -116,13 +116,21 @@ class SAP(Solver):
         return self.state.W
 
     # -- per-step pieces (traced) -------------------------------------------
+    # The oracle pair used inside the trace; _build_chunk_fn may rebind these
+    # to a payload-rebound operator for multi-host runs (see below).
     def _blk_mm(self, blk, X):
-        op = self.system.A_blk_oracle(blk)
-        return op @ X if isinstance(op, LinOp) else op @ X
+        return self._blk_oracle(blk) @ X
 
     def _row_mm(self, blk, X):
-        op = self.system.A_row_oracle(blk)
-        return op @ X if isinstance(op, LinOp) else op @ X
+        return self._row_oracle(blk) @ X
+
+    @property
+    def _row_oracle(self):
+        return getattr(self, "_row_oracle_override", None) or self.system.A_row_oracle
+
+    @property
+    def _blk_oracle(self):
+        return getattr(self, "_blk_oracle_override", None) or self.system.A_blk_oracle
 
     def _get_precond(self, blk, key, dtype):
         """Build the block preconditioner state; returns (apply_inv, exact)."""
@@ -202,6 +210,39 @@ class SAP(Solver):
         return SAPState(W=W, V=W, Y=W, key=key, t=state.t + 1)
 
     def _build_chunk_fn(self):
+        # Multi-host path: when the oracles are the bound methods of a
+        # mesh-sharded operator, pass its payload as a jit ARGUMENT and
+        # rebind inside the trace (closing over arrays spanning
+        # non-addressable devices is illegal under jax.distributed; see
+        # pcg.py). Custom user oracle callables keep the closure path.
+        from ..linops.sharded import ShardedLinOp
+
+        A = self.system.A
+        self._pass_data = (
+            isinstance(A, ShardedLinOp)
+            and getattr(self.system.A_row_oracle, "__self__", None) is A
+            and getattr(self.system.A_blk_oracle, "__self__", None) is A
+        )
+        if self._pass_data:
+
+            @partial(jax.jit, static_argnames=("n_steps",))
+            def chunk(A_data, state, mask, n_steps):
+                A_loc = A._with_data(A_data)
+                self._row_oracle_override = A_loc.row_oracle
+                self._blk_oracle_override = A_loc.blk_oracle
+                try:
+
+                    def body(s, _):
+                        return self._step_fn(s, mask), None
+
+                    state, _ = jax.lax.scan(body, state, None, length=n_steps)
+                finally:
+                    self._row_oracle_override = None
+                    self._blk_oracle_override = None
+                return state
+
+            return chunk
+
         @partial(jax.jit, static_argnames=("n_steps",))
         def chunk(state, mask, n_steps):
             def body(s, _):
@@ -216,4 +257,9 @@ class SAP(Solver):
         self._run_chunk(1)
 
     def _run_chunk(self, n_steps: int):
-        self.state = self._chunk_fn(self.state, self.system.mask, n_steps)
+        if self._pass_data:
+            self.state = self._chunk_fn(
+                self.system.A._data, self.state, self.system.mask, n_steps
+            )
+        else:
+            self.state = self._chunk_fn(self.state, self.system.mask, n_steps)

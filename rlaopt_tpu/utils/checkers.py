@@ -2,8 +2,10 @@
 
 TPU-native re-design of the reference validator layer
 (``rlaopt/utils/input_checkers.py:8-147``): the same TypeError/ValueError
-contract, re-targeted at JAX arrays, dtypes, and PRNG keys instead of torch
-tensors/devices.
+*contract* (which check fires on which bad input), re-targeted at JAX arrays,
+dtypes, and PRNG keys instead of torch tensors/devices. Implementation and
+message wording are our own: one ``_require_type`` helper drives the
+isinstance checks instead of fifteen hand-rolled bodies.
 """
 
 from typing import Any
@@ -34,76 +36,63 @@ __all__ = [
 ]
 
 
-def _is_bool(param: Any, param_name: str):
-    if not isinstance(param, bool):
+def _require_type(param: Any, param_name: str, types, want: str):
+    """Raise TypeError unless ``param`` is an instance of ``types``."""
+    if not isinstance(param, types):
         raise TypeError(
-            f"{param_name} is of type {type(param).__name__}, but expected type bool"
+            f"expected {param_name} to be {want}; "
+            f"got {type(param).__name__} instead"
         )
+
+
+def _is_bool(param: Any, param_name: str):
+    _require_type(param, param_name, bool, "a bool")
 
 
 def _is_callable(param: Any, param_name: str):
     if not callable(param):
         raise TypeError(
-            f"{param_name} is of type {type(param).__name__}, "
-            "but expected type callable"
+            f"expected {param_name} to be callable; "
+            f"got {type(param).__name__} instead"
         )
 
 
 def _is_dict(param: Any, param_name: str):
-    if not isinstance(param, dict):
-        raise TypeError(
-            f"{param_name} is of type {type(param).__name__}, but expected type dict"
-        )
+    _require_type(param, param_name, dict, "a dict")
 
 
 def _is_float(param: Any, param_name: str):
-    if not isinstance(param, float):
-        raise TypeError(
-            f"{param_name} is of type {type(param).__name__}, but expected type float"
-        )
+    _require_type(param, param_name, float, "a float")
 
 
 def _is_int(param: Any, param_name: str):
-    if isinstance(param, bool) or not isinstance(param, (int, np.integer)):
-        raise TypeError(
-            f"{param_name} is of type {type(param).__name__}, but expected type int"
-        )
+    # bool is an int subclass in Python; reject it explicitly.
+    if isinstance(param, bool):
+        raise TypeError(f"expected {param_name} to be an int; got bool instead")
+    _require_type(param, param_name, (int, np.integer), "an int")
 
 
 def _is_list(param: Any, param_name: str):
-    if not isinstance(param, list):
-        raise TypeError(
-            f"{param_name} is of type {type(param).__name__}, but expected type list"
-        )
+    _require_type(param, param_name, list, "a list")
 
 
 def _is_set(param: Any, param_name: str):
-    if not isinstance(param, set):
-        raise TypeError(
-            f"{param_name} is of type {type(param).__name__}, but expected type set"
-        )
+    _require_type(param, param_name, set, "a set")
 
 
 def _is_str(param: Any, param_name: str):
-    if not isinstance(param, str):
-        raise TypeError(
-            f"{param_name} is of type {type(param).__name__}, but expected type str"
-        )
+    _require_type(param, param_name, str, "a str")
 
 
 def _is_array(param: Any, param_name: str):
-    if not isinstance(param, (jax.Array, np.ndarray)):
-        raise TypeError(
-            f"{param_name} is of type {type(param).__name__}, "
-            "but expected a jax.Array"
-        )
+    _require_type(param, param_name, (jax.Array, np.ndarray), "a jax.Array")
 
 
 def _is_array_1d_2d(param: Any, param_name: str):
     _is_array(param, param_name)
     if param.ndim not in (1, 2):
         raise ValueError(
-            f"{param_name} must be a 1D or 2D array. Received {param.ndim}D array."
+            f"{param_name} needs 1 or 2 dimensions; this array has {param.ndim}"
         )
 
 
@@ -112,8 +101,8 @@ def _is_dtype(param: Any, param_name: str):
         jnp.dtype(param)
     except TypeError:
         raise TypeError(
-            f"{param_name} is of type {type(param).__name__}, "
-            "but expected a jax/numpy dtype"
+            f"expected {param_name} to be a jax/numpy dtype; "
+            f"got {type(param).__name__} instead"
         )
 
 
@@ -121,26 +110,26 @@ def _is_dtype_f32_f64(param: Any, param_name: str):
     _is_dtype(param, param_name)
     if jnp.dtype(param) not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.float64)):
         raise ValueError(
-            f"{param_name} is {param}, but expected float32 or float64"
+            f"{param_name} must be float32 or float64 (got {param})"
         )
 
 
 def _is_nonneg_float(param: Any, param_name: str):
     _is_float(param, param_name)
     if param < 0:
-        raise ValueError(f"{param_name} must be non-negative, but received {param}")
+        raise ValueError(f"{param_name} cannot be negative (got {param})")
 
 
 def _is_pos_float(param: Any, param_name: str):
     _is_float(param, param_name)
     if param <= 0:
-        raise ValueError(f"{param_name} must be positive, but received {param}")
+        raise ValueError(f"{param_name} must be > 0 (got {param})")
 
 
 def _is_pos_int(param: Any, param_name: str):
     _is_int(param, param_name)
     if param <= 0:
-        raise ValueError(f"{param_name} must be positive, but received {param}")
+        raise ValueError(f"{param_name} must be > 0 (got {param})")
 
 
 def _is_key(param: Any, param_name: str):
@@ -155,8 +144,8 @@ def _is_key(param: Any, param_name: str):
             and param.shape == (2,)
         ):
             raise TypeError(
-                f"{param_name} is of type {type(param).__name__}, "
-                "but expected a jax PRNG key"
+                f"expected {param_name} to be a jax PRNG key; "
+                f"got {type(param).__name__} instead"
             )
 
 

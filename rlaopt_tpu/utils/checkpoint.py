@@ -6,6 +6,7 @@ convergence mask, and the iteration counter) are saved every
 ``checkpoint_freq`` logging rounds and can be restored to resume a solve.
 """
 
+import json
 import os
 from typing import Any, Optional
 
@@ -14,6 +15,21 @@ import numpy as np
 
 
 __all__ = ["SolveCheckpointer"]
+
+
+def _jsonify(obj):
+    """Best-effort conversion of a metrics/log tree to JSON-safe values."""
+    if isinstance(obj, dict):
+        return {str(k): _jsonify(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonify(v) for v in obj]
+    if isinstance(obj, (jax.Array, np.ndarray)):
+        return np.asarray(obj).tolist()
+    if isinstance(obj, (np.floating, np.integer)):
+        return obj.item()
+    if obj is None or isinstance(obj, (bool, int, float, str)):
+        return obj
+    return repr(obj)
 
 
 class SolveCheckpointer:
@@ -48,9 +64,14 @@ class SolveCheckpointer:
         return max(steps) if steps else None
 
     # -- save/restore --------------------------------------------------------
-    def save(self, step: int, payload: Any) -> None:
+    def save(self, step: int, payload: Any, aux: Optional[dict] = None) -> None:
         """Save a pytree payload at ``step`` (stored as flattened leaves, so
-        NamedTuple/dataclass states survive the round-trip)."""
+        NamedTuple/dataclass states survive the round-trip).
+
+        ``aux``: optional JSON-serializable sidecar (log history, cumulative
+        wall-clock) so a resumed solve keeps timing/log continuity instead of
+        restarting them from zero.
+        """
         leaves = jax.tree_util.tree_leaves(payload)
         if self._ocp is not None:
             path = self._step_dir(step)
@@ -61,6 +82,21 @@ class SolveCheckpointer:
                 self._step_dir(step) + ".npz",
                 **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)},
             )
+        if aux is not None:
+            with open(self._step_dir(step) + ".aux.json", "w") as f:
+                json.dump(_jsonify(aux), f)
+
+    def restore_aux(self, step: Optional[int] = None) -> Optional[dict]:
+        """Load the aux sidecar saved at ``step`` (default: latest), if any."""
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            return None
+        path = self._step_dir(step) + ".aux.json"
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
 
     def restore(self, step: Optional[int] = None, like: Any = None) -> Any:
         """Restore the payload at ``step`` (default: latest).

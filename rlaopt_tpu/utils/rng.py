@@ -18,7 +18,10 @@ import jax
 __all__ = ["seed", "next_key"]
 
 _lock = threading.Lock()
-_state = {"key": jax.random.PRNGKey(0)}
+# Lazy: creating a PRNG key initializes the XLA backend, and importing a
+# library must not do that (it breaks jax.distributed.initialize, which has
+# to run before any backend touch in multi-host programs).
+_state = {"key": None}
 
 
 def seed(s: int) -> None:
@@ -30,5 +33,7 @@ def seed(s: int) -> None:
 def next_key() -> jax.Array:
     """Split a fresh key off the package-global chain."""
     with _lock:
+        if _state["key"] is None:
+            _state["key"] = jax.random.PRNGKey(0)
         _state["key"], sub = jax.random.split(_state["key"])
     return sub

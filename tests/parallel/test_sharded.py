@@ -52,6 +52,51 @@ class TestShardedDenseLinOp:
         assert np.allclose(At @ y, M.T @ y, rtol=rt, atol=rt)
         assert np.allclose(x @ At, x @ M.T, rtol=rt, atol=rt)
 
+    @pytest.mark.parametrize("mode", ["row", "column"])
+    def test_ragged_local_ops_match_dense(self, key, dtype, tol, mesh, mode):
+        """8 unequal per-device chunks (reference torch.chunk ergonomics,
+        ``rlaopt/linops/base.py:297-302``) must reproduce the dense result."""
+        from rlaopt_tpu.linops import TwoSidedLinOp
+
+        sizes = [7, 3, 9, 5, 8, 2, 6, 4]
+        n, m_other = sum(sizes), 24
+        shape = (n, m_other) if mode == "row" else (m_other, n)
+        M = jax.random.normal(key, shape, dtype=dtype)
+
+        def mv(d, x):
+            return d @ x
+
+        def rmv(d, y):
+            return d.T @ y
+
+        ops, off = [], 0
+        for sz in sizes:
+            chunk = (
+                M[off : off + sz, :] if mode == "row" else M[:, off : off + sz]
+            )
+            ops.append(
+                TwoSidedLinOp(
+                    chunk.shape, mv, rmv, data=chunk, dtype=dtype
+                )
+            )
+            off += sz
+        A = ShardedLinOp.from_local_ops(ops, mesh, mode=mode)
+        assert A.shape == M.shape
+
+        rt = 100 * tol
+        x = jnp.linspace(-1, 1, M.shape[1]).astype(dtype)
+        X = jax.random.normal(jax.random.fold_in(key, 1), (M.shape[1], 3), dtype)
+        y = jnp.linspace(1, -1, M.shape[0]).astype(dtype)
+        Y = jax.random.normal(jax.random.fold_in(key, 2), (4, M.shape[0]), dtype)
+        assert np.allclose(A @ x, M @ x, rtol=rt, atol=rt)
+        assert np.allclose(A @ X, M @ X, rtol=rt, atol=rt)
+        assert np.allclose(y @ A, y @ M, rtol=rt, atol=rt)
+        assert np.allclose(Y @ A, Y @ M, rtol=rt, atol=rt)
+        At = A.T
+        assert At.shape == (M.shape[1], M.shape[0])
+        assert np.allclose(At @ y, M.T @ y, rtol=rt, atol=rt)
+        assert np.allclose(x @ At, x @ M.T, rtol=rt, atol=rt)
+
     def test_symmetric_alias(self, key, dtype, mesh):
         n = 32
         G = jax.random.normal(key, (n, n), dtype=dtype)
@@ -231,7 +276,8 @@ class TestShardedSolverState:
             W0,
             key=key,
         )
-        assert W.sharding.spec == P("i")
+        # row-sharded: trailing None in the spec is equivalent to absent
+        assert W.sharding.spec in (P("i"), P("i", None))
         K = compute_kernel_matrix("rbf", X, X, 1.0)
         W_true = np.linalg.solve(K + 1e-4 * np.eye(n), np.asarray(B))
         assert np.linalg.norm(np.asarray(W) - W_true) / np.linalg.norm(W_true) < 1e-6

@@ -64,7 +64,13 @@ def test_solve_checkpoint_and_resume(problem, key, tmp_path):
         cfg2, jnp.zeros_like(B), callback_freq=2, key=key,
         checkpoint_dir=ckdir, resume=True,
     )
-    assert min(log2.keys()) == 8  # started from the checkpoint iteration
+    # Log continuity: the resumed run's log includes the pre-checkpoint
+    # history (restored from the aux sidecar) plus the new iterations.
+    assert min(log2.keys()) == 0
+    assert 8 in log2 and max(log2.keys()) > 8
+    # Timing continuity: cumulative wall-clock keeps accumulating across the
+    # resume instead of restarting from zero.
+    assert log2[8]["cum_time"] >= log1[8]["cum_time"]
     it = max(log2.keys())
     rel = float(jnp.max(log2[it]["metrics"]["internal_metrics"]["rel_res"]))
     assert rel < 1e-7
