@@ -7,12 +7,10 @@ The performance-critical replacement for the reference's KeOps engine
 * grid = (row tiles × col tiles); the col-tile dimension is sequential and
   accumulates into a VMEM scratch tile, so each (TM, TN) kernel tile lives
   only inside the kernel body;
-* squared-distance kernels (RBF / Matérn) compute the tile on the MXU with
-  the **norms folded into the contraction**: the inputs are augmented with
-  two extra feature columns ``[X | −hx | 1]`` / rows ``[Yᵀ ; 1 ; −hy]`` so a
-  single dot yields the exp argument (RBF) or the squared distance (Matérn)
-  directly — the VPU epilogue is just the transcendental, which pipelines
-  under the next tile's MXU work;
+* squared-distance kernels (RBF / Matérn) compute the cross term on the MXU;
+  the squared norms are precomputed OUTSIDE the kernel and streamed as
+  (TM, 1)/(1, TN) vectors with the constants folded into the operands, so
+  the VPU epilogue is two broadcast subtractions plus the transcendental;
 * split-precision operands (bf16 hi/lo pairs) are prepared **outside** the
   kernel, once per operand instead of once per tile visit;
 * the Laplace (L1) kernel loops features on the VPU (no matmul form exists);
@@ -23,17 +21,19 @@ The performance-critical replacement for the reference's KeOps engine
   TPU analog of the reference's device-query launch-config helper
   (``rlaopt/csrc/cuda/cuda_specific.cu:13-94``, SURVEY N9).
 
-``compute_dtype`` selects the cross-term speed/accuracy tier (measured on
-the round-2 chip at n=m=16384, d=256, k=8; chip matmul peak 91.5 TF that
-session):
+``compute_dtype`` selects the cross-term speed/accuracy tier. Accuracy
+measured against an f64 oracle (n=m=512, d=256, standardized data);
+throughput at n=m=16384, d=256, k=8 on a session whose measured chip matmul
+peak was 89.7 TF — each tier's roofline is peak·(d+k)/(passes·d):
 
-=============  ==========================  ===================
-value           accuracy (rel, vs f64-ish)  MXU passes over d
-=============  ==========================  ===================
-None (default)  ~3e-7 (exact f32)           6 (HIGHEST)
-"bf16x3"        ~8e-7 (split-precision)     3
-"bfloat16"      ~4e-3                       1
-=============  ==========================  ===================
+=============  =================  =====  ==========  =================
+value           rel err vs f64     MXU    TFLOP/s     % of its roofline
+                                   passes (counted)
+=============  =================  =====  ==========  =================
+None (default)  1.1e-7 (exact)     6      15.0        97%
+"bf16x3"        3.2e-6             3      22.6        73%
+"bfloat16"      1.1e-4             1      34.3        37%
+=============  =================  =====  ==========  =================
 """
 
 import functools
@@ -154,13 +154,33 @@ def _finish_dot(kind, cross, hx, hy):
     return _finish_sqdist(kind, jnp.maximum(hx + hy - cross, 0.0))
 
 
-def _acc_update(acc_ref, k_tile, v_ref, exact_acc: bool):
-    precision = lax.Precision.HIGHEST if exact_acc else None
+def _acc_update(acc_ref, k_tile, v_ref, acc_mode: str):
+    """Accumulate ``k_tile @ v`` into the output scratch.
+
+    acc_mode: "highest" (6-pass, used by the exact tier where it hides under
+    the 6-pass cross term), "split" (manual 3-pass bf16 hi/lo of both
+    operands, ~2⁻¹⁸ relative — measured +16% end-to-end on the bf16x3 tier),
+    or "fast" (single bf16 pass, for the bf16 tier).
+    """
+    f32 = jnp.float32
+    v = v_ref[:].astype(f32)
+    if acc_mode == "split":
+        kh = k_tile.astype(jnp.bfloat16)
+        kl = (k_tile - kh.astype(f32)).astype(jnp.bfloat16)
+        vh = v.astype(jnp.bfloat16)
+        vl = (v - vh.astype(f32)).astype(jnp.bfloat16)
+        acc_ref[:] += (
+            lax.dot_general(kh, vh, _DN, preferred_element_type=f32)
+            + lax.dot_general(kh, vl, _DN, preferred_element_type=f32)
+            + lax.dot_general(kl, vh, _DN, preferred_element_type=f32)
+        )
+        return
+    precision = lax.Precision.HIGHEST if acc_mode == "highest" else None
     acc_ref[:] += lax.dot_general(
         k_tile,
-        v_ref[:].astype(jnp.float32),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        v,
+        dimension_numbers=_DN,
+        preferred_element_type=f32,
         precision=precision,
     )
 
@@ -184,7 +204,7 @@ def _body_exact(x_ref, y_ref, hx_ref, hy_ref, v_ref, o_ref, acc_ref, *, kind, nj
         precision=lax.Precision.HIGHEST,
     )
     _acc_update(
-        acc_ref, _finish_dot(kind, cross, hx_ref[:], hy_ref[:]), v_ref, True
+        acc_ref, _finish_dot(kind, cross, hx_ref[:], hy_ref[:]), v_ref, "highest"
     )
 
     @pl.when(j == nj - 1)
@@ -215,7 +235,7 @@ def _body_split(
         + lax.dot_general(xl_ref[:], yh_ref[:], _DN, preferred_element_type=f32)
     )
     _acc_update(
-        acc_ref, _finish_dot(kind, cross, hx_ref[:], hy_ref[:]), v_ref, True
+        acc_ref, _finish_dot(kind, cross, hx_ref[:], hy_ref[:]), v_ref, "split"
     )
 
     @pl.when(j == nj - 1)
@@ -234,7 +254,7 @@ def _body_bf16(x_ref, y_ref, hx_ref, hy_ref, v_ref, o_ref, acc_ref, *, kind, nj)
         x_ref[:], y_ref[:], _DN, preferred_element_type=jnp.float32
     )
     _acc_update(
-        acc_ref, _finish_dot(kind, cross, hx_ref[:], hy_ref[:]), v_ref, False
+        acc_ref, _finish_dot(kind, cross, hx_ref[:], hy_ref[:]), v_ref, "fast"
     )
 
     @pl.when(j == nj - 1)
@@ -258,7 +278,7 @@ def _body_direct(x_ref, y_ref, v_ref, o_ref, acc_ref, *, kind, nj, d_orig):
         k_tile = jnp.exp(-l1)
     else:
         k_tile = _finish_sqdist(kind, _sqdist_direct(x_ref[:], y_ref[:], d_orig))
-    _acc_update(acc_ref, k_tile, v_ref, True)
+    _acc_update(acc_ref, k_tile, v_ref, "highest")
 
     @pl.when(j == nj - 1)
     def _():
