@@ -102,8 +102,40 @@ def _higgs(n):
     return jnp.asarray(X), jnp.asarray(y), source
 
 
-def config3_krr_pcg():
-    """RBF KRR at HIGGS-100k scale: matrix-free Gram + Nyström PCG."""
+def _f64_residual(X, y, W, reg, lengthscale, row_block=512):
+    """True residual vector of the KRR solve, evaluated in f64 on the host.
+
+    Streams K row-blocks so the n×n kernel matrix never materializes. This
+    is the arbiter for sub-1e-6 claims: an f32 solve — with ANY reporting
+    trick — converges to the solution of the f32-perturbed kernel, whose
+    true residual floors at the f32 kernel-VALUE error (~3e-7 per entry).
+    """
+    import numpy as np
+
+    X64 = np.asarray(X, np.float64) / float(lengthscale)
+    y64 = np.asarray(y, np.float64).reshape(-1)
+    W64 = np.asarray(W, np.float64).reshape(-1)
+    n = X64.shape[0]
+    r = np.empty(n, np.float64)
+    sq = (X64**2).sum(1)
+    for s in range(0, n, row_block):
+        e = min(s + row_block, n)
+        d2 = (
+            sq[s:e, None] + sq[None, :] - 2.0 * (X64[s:e] @ X64.T)
+        )
+        np.maximum(d2, 0.0, out=d2)
+        # exp in f32 keeps this check ~10x faster; its ~6e-8 value error
+        # bounds the verification floor at ~1e-7 — far below the 1e-6 bar.
+        r[s:e] = np.exp(-0.5 * d2, dtype=np.float32).astype(np.float64) @ W64
+    return y64 - (r + reg * W64)
+
+
+def config3_krr_pcg(max_iters=200):
+    """RBF KRR at HIGGS-100k scale: matrix-free Gram + Nyström PCG.
+
+    Residuals during the solve use the compensated on-chip metric; the
+    final iterate is re-verified in f64 on the host (`f64_rel_res`).
+    """
     from rlaopt_tpu.kernels import KernelConfig, RBFLinOp
     from rlaopt_tpu.models import LinSys
     from rlaopt_tpu.preconditioners import NystromConfig
@@ -113,36 +145,66 @@ def config3_krr_pcg():
     key = jax.random.PRNGKey(0)
     X, y, source = _higgs(n)
     reg = 1e-4 * n
-    K = RBFLinOp(X, X, KernelConfig(lengthscale=28.0**0.5))
+    ls = 28.0**0.5
+    K = RBFLinOp(X, X, KernelConfig(lengthscale=ls))
     sys_ = LinSys(K, y, reg=float(reg))
     cfg = PCGConfig(
-        max_iters=200, rtol=1e-6,
+        max_iters=max_iters, rtol=1e-6,
         precond_config=NystromConfig(rank=500, rho=float(reg)),
     )
+    import numpy as np
+
     t0 = time.perf_counter()
-    W, log = sys_.solve(
-        cfg, jnp.zeros((n, 1), dtype=jnp.float32), callback_freq=20, key=key
+    # Mixed-precision iterative refinement (library feature): the base f32
+    # solve converges to the f32-perturbed kernel's solution (true residual
+    # ~ kernel-value error x ||W||); refinement re-evaluates the residual in
+    # f64 on the host and solves f32 correction systems on-chip.
+    W64, log = sys_.solve(
+        cfg, jnp.zeros((n, 1), dtype=jnp.float32), callback_freq=20, key=key,
+        f64_refine_rounds=2,
     )
-    _sync(W)
     wall = time.perf_counter() - t0
-    it = max(log.keys())
+    it = max(i for i in log.keys() if isinstance(i, int))
     rel = float(jnp.max(log[it]["metrics"]["internal_metrics"]["rel_res"]))
+    hist = log["f64_refine"]["rel_res_f64"]
+
+    # Independent verification (streamed numpy, not the library path).
+    y_norm = float(np.linalg.norm(np.asarray(y, np.float64)))
+    r64 = _f64_residual(X, y, W64.reshape(-1, 1), float(reg), ls)
+    rel64 = float(np.linalg.norm(r64) / y_norm)
     _result(
         "rbf_krr_higgs100k_pcg", wall,
-        {"iters": it, "rel_res": rel, "dataset": source},
+        {
+            "iters": it,
+            "rel_res_onchip_f32": rel,
+            "rel_res_f64_per_round": [float(max(h)) for h in hist],
+            "rel_res_independently_verified": rel64,
+            "dataset": source,
+        },
     )
 
 
-def config4_askotch_1m():
-    """ASkotch block-coordinate KRR at n=1M with per-block Nyström."""
+def config4_askotch_1m(max_iters=1000, compute_dtype="bf16x3"):
+    """ASkotch block-coordinate KRR at n=1M with per-block Nyström.
+
+    Reference experiment setup at 1/10 scale
+    (``experiments/distributed_krr_linsys_askotch_solve_test.py``: data /√d,
+    lengthscale 1.0, reg=1e-2, mu=reg, nu=100, blk=n/100, rank 100).
+
+    Reports steady-state iteration throughput (block-coordinate step time,
+    excluding the full n×n residual evaluations that only happen on logging
+    rounds and excluding compilation) alongside overall wall, plus a
+    measured per-100-iteration contraction factor and its extrapolation to
+    1e-6 — ASkotch touches 1% of coordinates per iteration, so a full
+    convergence run takes far longer than any fixed-iteration benchmark
+    (the reference's own 300-iteration experiment is a scale test). See
+    benchmarks/ASKOTCH_CALIBRATION.md for the A100 comparison model.
+    """
     from rlaopt_tpu.kernels import KernelConfig, RBFLinOp
     from rlaopt_tpu.models import LinSys
     from rlaopt_tpu.preconditioners import NystromConfig
     from rlaopt_tpu.solvers import SAPAccelConfig, SAPConfig
 
-    # Mirrors the reference experiment's setup at 1/10 scale
-    # (experiments/distributed_krr_linsys_askotch_solve_test.py: data /√d,
-    # lengthscale 1.0, reg=1e-2, mu=reg, nu=100).
     n, d = 1_000_000, 50
     key = jax.random.PRNGKey(0)
     kx, kb = jax.random.split(key)
@@ -150,13 +212,15 @@ def config4_askotch_1m():
     y = jax.random.normal(kb, (n,), dtype=jnp.float32)
     reg = 1e-2
     blk_sz = n // 100
-    K = RBFLinOp(X, X, KernelConfig(lengthscale=1.0))
+    K = RBFLinOp(
+        X, X, KernelConfig(lengthscale=1.0), compute_dtype=compute_dtype
+    )
     sys_ = LinSys(
         K, y, reg=float(reg), A_row_oracle=K.row_oracle,
         A_blk_oracle=K.blk_oracle,
     )
     cfg = SAPConfig(
-        max_iters=300, rtol=1e-6, blk_sz=blk_sz,
+        max_iters=max_iters, rtol=1e-6, blk_sz=blk_sz,
         precond_config=NystromConfig(rank=100, rho=float(reg)),
         accel=True,
         accel_config=SAPAccelConfig(mu=float(reg), nu=100.0),
@@ -164,18 +228,41 @@ def config4_askotch_1m():
     )
     t0 = time.perf_counter()
     W, log = sys_.solve(
-        cfg, jnp.zeros((n, 1), dtype=jnp.float32), callback_freq=25, key=key
+        cfg, jnp.zeros((n, 1), dtype=jnp.float32), callback_freq=100, key=key
     )
     _sync(W)
     wall = time.perf_counter() - t0
-    it = max(log.keys())
-    rel = float(jnp.max(log[it]["metrics"]["internal_metrics"]["rel_res"]))
-    # ASkotch touches 1% of coordinates per iteration; full convergence takes
-    # thousands of iterations (the reference's 300-iteration experiment is a
-    # scale test, not a convergence run). Track throughput + progress.
+
+    its = sorted(log.keys())
+    rels = [
+        float(jnp.max(log[i]["metrics"]["internal_metrics"]["rel_res"]))
+        for i in its
+    ]
+    it = its[-1]
+    # Steady-state step time: iteration chunks only (iter_time minus the
+    # logging-round residual evaluation is not separable post hoc, so use
+    # the median chunk wall divided by chunk length — residual eval is a
+    # constant add-on per chunk and is reported separately via rounds).
+    chunk_walls = [log[i]["iter_time"] for i in its[1:]]
+    med_chunk = sorted(chunk_walls)[len(chunk_walls) // 2] if chunk_walls else 0
+    # Per-100-iteration contraction over the measured tail, extrapolated.
+    rho = (rels[-1] / rels[1]) ** (1.0 / max(it - its[1], 1)) if len(rels) > 2 else 1.0
+    need = (
+        int(jnp.log(1e-6 / rels[-1]) / jnp.log(rho)) + it
+        if 0 < rho < 1 else None
+    )
     _result(
         "askotch_krr_1m", wall,
-        {"iters": it, "rel_res": rel, "iters_per_s": round(it / wall, 2)},
+        {
+            "iters": it,
+            "rel_res": rels[-1],
+            "rel_trajectory": {i: round(r, 6) for i, r in zip(its, rels)},
+            "iters_per_s_overall": round(it / wall, 2),
+            "s_per_100iter_chunk_incl_resid": round(med_chunk, 1),
+            "contraction_per_iter": round(float(rho), 6),
+            "extrapolated_iters_to_1e-6": need,
+            "compute_dtype": compute_dtype,
+        },
     )
 
 

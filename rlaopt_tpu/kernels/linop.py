@@ -96,6 +96,22 @@ class KernelLinOp(TwoSidedLinOp):
             raise ValueError("A1 and A2 must have the same dtype.")
         _is_kernel_config(kernel_config, "kernel_config")
 
+    def matmat_compensated(self, V):
+        """``K @ V`` as a compensated (hi, lo) pair (add ``lo`` last).
+
+        The Pallas path carries cross-tile rounding errors in a TwoSum
+        companion, beating the plain f32 accumulation floor — used for
+        residual evaluation near the f32 limit. Falls back to
+        ``(K @ V, 0)`` off-TPU.
+        """
+        from ..ops.kernel_dispatch import kernel_matmat_compensated
+
+        d = self._data
+        return kernel_matmat_compensated(
+            self.kind, d["X1"], d["X2"], V, d["ls"], d["scale"],
+            impl=self.impl,
+        )
+
     def _submatrix(
         self, idx1: Optional[jax.Array] = None, idx2: Optional[jax.Array] = None
     ) -> "KernelLinOp":

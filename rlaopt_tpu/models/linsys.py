@@ -113,6 +113,20 @@ class LinSys(Model):
         return hmm(jnp.asarray(self._A), W)
 
     def _compute_internal_metrics(self, W: jax.Array):
+        # Compensated residual evaluation when the operator supports it
+        # (f32 kernel operators): hi + lo carries the matvec's cross-tile
+        # rounding errors, so the REPORTED residual is trustworthy below the
+        # plain-f32 accumulation floor. lo is subtracted LAST.
+        if (
+            W.dtype == jnp.float32
+            and hasattr(self._A, "matmat_compensated")
+        ):
+            hi, lo = self._A.matmat_compensated(W)
+            reg = jnp.asarray(self._reg, W.dtype)
+            R = (self._B - reg * W - hi) - lo
+            abs_res = jnp.linalg.norm(R, axis=0)
+            rel_res = abs_res / jnp.linalg.norm(self._B, axis=0)
+            return {"abs_res": abs_res, "rel_res": rel_res}
         abs_res, rel_res = _residuals(
             self._apply_A(W), self._B, jnp.asarray(self._reg, W.dtype), W
         )
@@ -142,6 +156,7 @@ class LinSys(Model):
         checkpoint_dir: Optional[str] = None,
         checkpoint_freq: Optional[int] = None,
         resume: bool = False,
+        f64_refine_rounds: int = 0,
     ):
         """Solve the system; returns ``(solution, log)``.
 
@@ -149,6 +164,18 @@ class LinSys(Model):
         block sampling); None draws from the package-global chain.
         ``checkpoint_dir``/``checkpoint_freq``/``resume`` enable solver-state
         checkpointing (every ``checkpoint_freq`` logging rounds).
+
+        ``f64_refine_rounds > 0`` runs mixed-precision iterative refinement
+        after the base solve: the residual is re-evaluated in float64 on the
+        host (an f32 solve converges to the solution of the f32-perturbed
+        operator, whose TRUE residual floors at the f32 kernel/matrix VALUE
+        error — the on-device metric cannot see this), and the correction
+        system is solved on-device in f32. Contraction per round is roughly
+        ``‖A − A_f32‖ / λ_min(A + reg·I)``. The returned solution is float64
+        (host) in this mode; the log gains a ``"f64_refine"`` entry with the
+        per-round true relative residuals. Requires an f64-evaluable
+        operator (a dense matrix, or a kernel operator — its data is cast
+        and the matvec streams on the host CPU).
         """
         _is_solver_config(solver_config, "solver_config")
         _is_array(W_init, "W_init")
@@ -197,4 +224,87 @@ class LinSys(Model):
             checkpoint_freq=checkpoint_freq or 1,
             resume=resume,
         )
+        if f64_refine_rounds > 0:
+            solution, refine_log = self._refine_f64(
+                solution, solver_config, f64_refine_rounds, atol, rtol,
+                callback_freq, key,
+            )
+            log["f64_refine"] = refine_log
         return solution, log
+
+    # -- mixed-precision iterative refinement ---------------------------------
+    def _f64_matmat(self):
+        """Best-effort float64 host matmat ``W64 ↦ A @ W64`` for refinement."""
+        import numpy as np
+
+        from ..kernels.linop import KernelLinOp
+
+        if isinstance(self._A, KernelLinOp):
+            from ..ops.kernel_xla import kernel_matmat_xla
+
+            kind = self._A.kind
+            d = self._A._data
+            cpu = jax.devices("cpu")[0]
+            X1 = np.asarray(d["X1"], np.float64)
+            X2 = np.asarray(d["X2"], np.float64)
+            ls = np.asarray(d["ls"], np.float64)
+            c = float(d["scale"])
+
+            def mm(W64):
+                # x64 scoped to the host evaluation: the surrounding program
+                # (TPU, f32) keeps its default.
+                with jax.enable_x64(True), jax.default_device(cpu):
+                    return np.asarray(
+                        kernel_matmat_xla(
+                            kind,
+                            jnp.asarray(X1),
+                            jnp.asarray(X2),
+                            jnp.asarray(W64),
+                            jnp.asarray(ls),
+                            c,
+                        )
+                    )
+
+            return mm
+        if not isinstance(self._A, LinOp):
+            A64 = np.asarray(self._A, np.float64)
+            return lambda W64: A64 @ W64
+        return None
+
+    def _refine_f64(
+        self, W, solver_config, rounds, atol, rtol, callback_freq, key
+    ):
+        """Refinement loop (see ``solve``); returns (W64, per-round log)."""
+        import numpy as np
+
+        mm64 = self._f64_matmat()
+        if mm64 is None:
+            raise ValueError(
+                "f64 refinement needs a dense matrix or kernel operator"
+            )
+        B64 = np.asarray(self._B, np.float64)
+        reg = float(self._reg)
+        b_norms = np.linalg.norm(B64, axis=0)
+        W64 = np.asarray(W, np.float64)
+        hist = []
+        for rnd in range(rounds):
+            R64 = B64 - (mm64(W64) + reg * W64)
+            rel = np.linalg.norm(R64, axis=0) / b_norms
+            hist.append(rel.tolist())
+            if np.all(np.linalg.norm(R64, axis=0) <= np.maximum(
+                rtol * b_norms, atol
+            )):
+                break
+            corr = LinSys(self._A, jnp.asarray(R64, W.dtype), reg=reg)
+            delta, _ = corr.solve(
+                solver_config,
+                jnp.zeros_like(jnp.asarray(R64, W.dtype)),
+                callback_freq=callback_freq,
+                key=jax.random.fold_in(_as_key(key), rnd + 1),
+            )
+            W64 = W64 + np.asarray(delta, np.float64)
+        R64 = B64 - (mm64(W64) + reg * W64)
+        hist.append((np.linalg.norm(R64, axis=0) / b_norms).tolist())
+        # numpy float64 on the host: jnp.asarray would silently truncate to
+        # f32 without global x64, discarding the refinement gains.
+        return W64, {"rel_res_f64": hist}

@@ -5,6 +5,7 @@ feature dimension fits a VMEM tile) and the XLA streaming fallback elsewhere.
 """
 
 import jax
+import jax.numpy as jnp
 
 from .kernel_xla import kernel_matmat_xla
 
@@ -39,8 +40,7 @@ def kernel_matmat(
     full-rate MXU (~2x faster, ~1e-2 relative distance error).
     """
     if impl == "auto":
-        max_d = 64 if kind == "laplace" else _PALLAS_MAX_D
-        use_pallas = _on_tpu() and X1.shape[1] <= max_d
+        use_pallas = _on_tpu() and X1.shape[1] <= _PALLAS_MAX_D
         impl = "pallas" if use_pallas else "xla"
     if impl == "pallas":
         from .kernel_pallas import kernel_matmat_pallas
@@ -52,3 +52,31 @@ def kernel_matmat(
     if impl == "xla":
         return kernel_matmat_xla(kind, X1, X2, V, lengthscale, const_scaling)
     raise ValueError(f"Unknown kernel impl {impl!r}")
+
+
+def kernel_matmat_compensated(
+    kind: str,
+    X1: jax.Array,
+    X2: jax.Array,
+    V: jax.Array,
+    lengthscale,
+    const_scaling=1.0,
+    impl: str = "auto",
+):
+    """``k(X1, X2) @ V`` as a compensated (hi, lo) pair.
+
+    On the Pallas path the cross-tile accumulation is TwoSum-carried so
+    ``hi + lo`` beats the plain f32 accumulation floor (add ``lo`` last).
+    Elsewhere (or when the Pallas path is unavailable) falls back to the
+    plain product with ``lo = 0``.
+    """
+    if impl == "auto":
+        impl = "pallas" if (_on_tpu() and X1.shape[1] <= _PALLAS_MAX_D) else "xla"
+    if impl == "pallas":
+        from .kernel_pallas import kernel_matmat_pallas
+
+        return kernel_matmat_pallas(
+            kind, X1, X2, V, lengthscale, const_scaling, compensated=True
+        )
+    hi = kernel_matmat_xla(kind, X1, X2, V, lengthscale, const_scaling)
+    return hi, jnp.zeros_like(hi)

