@@ -157,6 +157,7 @@ class LinSys(Model):
         checkpoint_freq: Optional[int] = None,
         resume: bool = False,
         f64_refine_rounds: int = 0,
+        f64_refine_device: str = "cpu",
     ):
         """Solve the system; returns ``(solution, log)``.
 
@@ -175,10 +176,23 @@ class LinSys(Model):
         (host) in this mode; the log gains a ``"f64_refine"`` entry with the
         per-round true relative residuals. Requires an f64-evaluable
         operator (a dense matrix, or a kernel operator — its data is cast
-        and the matvec streams on the host CPU).
+        and the matvec streams in float64).
+
+        ``f64_refine_device`` selects where the f64 residual matvec runs:
+        ``"cpu"`` (host numpy/XLA-CPU, the default) or ``"accel"`` (the
+        default accelerator — TPUs execute f64 through software emulation,
+        slower than f32 but orders of magnitude faster than a host at
+        n ≳ 10⁶, e.g. the 1M-point north-star benchmark).
         """
         _is_solver_config(solver_config, "solver_config")
         _is_array(W_init, "W_init")
+        if W_init.ndim == 1:  # promote like B (models/linsys B promotion)
+            W_init = W_init[:, None]
+        if W_init.shape != self._B.shape:
+            raise ValueError(
+                f"W_init shape {W_init.shape} does not match the "
+                f"right-hand side shape {self._B.shape}"
+            )
         if log_in_wandb and wandb_init_kwargs is None:
             raise ValueError(
                 "wandb_init_kwargs must be specified if log_in_wandb is True"
@@ -227,14 +241,19 @@ class LinSys(Model):
         if f64_refine_rounds > 0:
             solution, refine_log = self._refine_f64(
                 solution, solver_config, f64_refine_rounds, atol, rtol,
-                callback_freq, key,
+                callback_freq, key, device=f64_refine_device,
             )
             log["f64_refine"] = refine_log
         return solution, log
 
     # -- mixed-precision iterative refinement ---------------------------------
-    def _f64_matmat(self):
-        """Best-effort float64 host matmat ``W64 ↦ A @ W64`` for refinement."""
+    def _f64_matmat(self, device: str = "cpu"):
+        """Best-effort float64 matmat ``W64 ↦ A @ W64`` for refinement.
+
+        ``device="cpu"`` evaluates on the host; ``"accel"`` streams the f64
+        kernel matvec on the default accelerator (software-emulated f64 on
+        TPU — the only feasible option at n ≳ 10⁶ on a thin host).
+        """
         import numpy as np
 
         from ..kernels.linop import KernelLinOp
@@ -244,16 +263,31 @@ class LinSys(Model):
 
             kind = self._A.kind
             d = self._A._data
-            cpu = jax.devices("cpu")[0]
+            if (
+                device == "accel"
+                and kind == "rbf"
+                and d["X1"].shape[1] <= 64
+            ):
+                return self._value64_matmat(d)
+            import contextlib
+
+            place = (
+                contextlib.nullcontext  # leave the accelerator default
+                if device == "accel"
+                else (lambda: jax.default_device(jax.devices("cpu")[0]))
+            )
             X1 = np.asarray(d["X1"], np.float64)
             X2 = np.asarray(d["X2"], np.float64)
             ls = np.asarray(d["ls"], np.float64)
             c = float(d["scale"])
+            # Wider streamed tiles on the accelerator: the auto budget is
+            # host-sized, and at m ~ 1e6 it degenerates to 8-row blocks.
+            rb = 128 if device == "accel" else None
 
             def mm(W64):
-                # x64 scoped to the host evaluation: the surrounding program
-                # (TPU, f32) keeps its default.
-                with jax.enable_x64(True), jax.default_device(cpu):
+                # x64 scoped to this evaluation: the surrounding program
+                # (accelerator, f32) keeps its default.
+                with jax.enable_x64(True), place():
                     return np.asarray(
                         kernel_matmat_xla(
                             kind,
@@ -262,22 +296,64 @@ class LinSys(Model):
                             jnp.asarray(W64),
                             jnp.asarray(ls),
                             c,
+                            row_block=rb,
                         )
                     )
 
             return mm
         if not isinstance(self._A, LinOp):
             A64 = np.asarray(self._A, np.float64)
+            if device == "accel":
+
+                def mm_dense(W64):
+                    with jax.enable_x64(True):
+                        return np.asarray(jnp.asarray(A64) @ jnp.asarray(W64))
+
+                return mm_dense
             return lambda W64: A64 @ W64
         return None
 
+    def _value64_matmat(self, d):
+        """f64-grade RBF matmat on the accelerator via two-float arithmetic.
+
+        The TPU's emulated f64 ``exp`` measures ~0.6 Gexp/s (~30 min per
+        n=1M residual); the value64 Pallas path gets ~3e-9-accurate kernel
+        values from f32 hardware ops instead. W64 is split as
+        ``W_hi + W_lo``: the hi part goes through the compensated value64
+        kernel, the lo part (~2^-24·|W|) through the plain exact-f32 tier —
+        its kernel-value error lands at ~1e-7 x 1e-7, far below target.
+        """
+        import numpy as np
+
+        from ..ops.kernel_dispatch import kernel_matmat
+        from ..ops.kernel_value64 import kernel_matmat_value64
+
+        X1, X2, ls = d["X1"], d["X2"], d["ls"]
+        c = float(d["scale"])
+
+        def mm(W64):
+            Wh = W64.astype(np.float32)
+            Wl = (W64 - Wh).astype(np.float32)
+            hi, lo = kernel_matmat_value64(X1, X2, Wh, ls, c)
+            low = kernel_matmat(
+                "rbf", X1, X2, jnp.asarray(Wl), ls, c
+            )
+            return (
+                np.asarray(hi, np.float64)
+                + np.asarray(lo, np.float64)
+                + np.asarray(low, np.float64)
+            )
+
+        return mm
+
     def _refine_f64(
-        self, W, solver_config, rounds, atol, rtol, callback_freq, key
+        self, W, solver_config, rounds, atol, rtol, callback_freq, key,
+        device: str = "cpu",
     ):
         """Refinement loop (see ``solve``); returns (W64, per-round log)."""
         import numpy as np
 
-        mm64 = self._f64_matmat()
+        mm64 = self._f64_matmat(device)
         if mm64 is None:
             raise ValueError(
                 "f64 refinement needs a dense matrix or kernel operator"

@@ -1,0 +1,337 @@
+"""Value-accurate (double-f32) RBF Gram matvec — the certified-residual path.
+
+``kernel_matmat_value64`` evaluates ``k(X1, X2) @ V`` with kernel VALUES
+accurate to ~3e-9 relative (vs ~3e-7 for the plain f32 paths), returned as a
+compensated ``(hi, lo)`` pair. This is what makes TRUE sub-1e-6 residuals
+certifiable at n ~ 10^6 on TPU:
+
+* an f32 solve converges to the f32-perturbed kernel's solution, so its real
+  residual floors at the f32 kernel-value error no matter how the on-device
+  metric is computed (measured 8.5e-6 at n=1e5);
+* iterative refinement can push past that floor only if the residual is
+  re-evaluated with more accurate kernel values;
+* the host can do that in f64 — but takes hours at n=1M on a thin host, and
+  the TPU's f64 emulation of ``exp`` measures ~0.6 Gexp/s (~30 min per
+  residual at n=1M). This kernel does it in f32 hardware ops via two-float
+  arithmetic (:mod:`rlaopt_tpu.ops.twofloat`): ~1000x the f64-emulation rate.
+
+Structure mirrors the Laplace feature-blocked Pallas kernel
+(``kernel_pallas._laplace_matmat``): grid (row tiles x col tiles x feature
+blocks), two-float squared-distance scratch persisting across feature steps,
+one contraction per column tile. Inputs are pre-scaled by the lengthscale in
+f64 on the host and shipped as (hi, lo) f32 pairs, so ARD and scalar
+lengthscales are exact to ~2^-48. RBF only (the north-star KRR kernel);
+no reference analog — KeOps evaluates in native f32/f64 CUDA
+(`/root/reference/rlaopt/kernels/base.py:92-102`), a luxury bf16-era TPUs
+don't have.
+"""
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .twofloat import tf_exp, tf_mul_f32, tf_sqr_f32, two_prod, two_sum
+
+
+__all__ = ["kernel_matmat_value64"]
+
+
+def _feature_block(d: int) -> int:
+    """Feature-slab width: multiple of 8 in [32, 64] minimizing padded work.
+
+    Wide slabs keep the X tiles lane-efficient (8-lane tiles measured 150x
+    slower); the cap bounds the unrolled two-float body (~30 ops/feature)
+    to a size Mosaic compiles happily.
+    """
+    if d <= 32:
+        return _round_up(d, 8) if d > 24 else 32  # never below 32 lanes
+    return min(
+        range(32, 72, 8), key=lambda fb: (_round_up(d, fb), -fb)
+    )
+
+
+def _body_f32(
+    xh_ref, yh_ref, v_ref, o_ref, olo_ref,
+    acc_ref, lo_ref, d2h_ref, d2l_ref, **kw,
+):
+    """Exact-f32-input variant (scalar lengthscale folded into gamma)."""
+    _body(
+        xh_ref, None, yh_ref, None, v_ref, o_ref, olo_ref,
+        acc_ref, lo_ref, d2h_ref, d2l_ref, **kw,
+    )
+
+
+def _body(
+    xh_ref, xl_ref, yh_ref, yl_ref, v_ref, o_ref, olo_ref,
+    acc_ref, lo_ref, d2h_ref, d2l_ref, *, nj, nb, gamma_h, gamma_l,
+    debug_skip=(),
+):
+    j = pl.program_id(1)
+    b = pl.program_id(2)
+
+    @pl.when(jnp.logical_and(j == 0, b == 0))
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        lo_ref[:] = jnp.zeros_like(lo_ref)
+
+    @pl.when(b == 0)
+    def _():
+        d2h_ref[:] = jnp.zeros_like(d2h_ref)
+        d2l_ref[:] = jnp.zeros_like(d2l_ref)
+
+    # Laplace-style feature slabs: 8-lane X tiles were measured 150x slower
+    # than the ≥32-lane layouts the Laplace/direct kernels use, so fb is
+    # ≥32-ish (see _feature_block) and X blocks are (tm, fb) 2-D when one
+    # slab spans the whole feature axis, (1, tm, fb) 3-D otherwise.
+    xh = xh_ref[0] if xh_ref.ndim == 3 else xh_ref[:]
+    xl = None if xl_ref is None else (
+        xl_ref[0] if xl_ref.ndim == 3 else xl_ref[:]
+    )
+    yl_row = (lambda f: None) if yl_ref is None else (
+        lambda f: yl_ref[f : f + 1, :]
+    )
+    d2h, d2l = d2h_ref[:], d2l_ref[:]
+    for f in range(0 if "dist" in debug_skip else xh.shape[1]):
+        # diff as a two-float: exact TwoSum of the hi parts (+ lo parts
+        # when the inputs are two-float, i.e. ARD/host-prescaled)
+        dh, de = two_sum(xh[:, f : f + 1], -yh_ref[f : f + 1, :])
+        if xl is None:
+            dl = de  # inputs are exact f32: TwoSum captures everything
+        else:
+            dl = de + (xl[:, f : f + 1] - yl_row(f))
+        # diff^2 as a two-float: exact square of hi + first-order cross term
+        sh, sl = tf_sqr_f32(dh)
+        sl = sl + 2.0 * (dh * dl)
+        # accumulate (zero-padded features contribute exactly nothing)
+        d2h, carry = two_sum(d2h, sh)
+        d2l = d2l + (carry + sl)
+    d2h_ref[:] = d2h
+    d2l_ref[:] = d2l
+
+    @pl.when(b == nb - 1)
+    def _():
+        # exp(-gamma·(d2h + d2l)): gamma = 1/(2·ls²) as a two-float scalar
+        # (folding the scalar lengthscale here keeps the X/Y inputs exact
+        # f32 — no lo-part operands, ~25% fewer distance-loop ops)
+        ah, al = tf_mul_f32(d2h_ref[:], d2l_ref[:], -gamma_h)
+        al = al + d2h_ref[:] * -gamma_l
+        if "exp" in debug_skip:
+            eh, el = ah, al
+        else:
+            eh, el = tf_exp(ah, al)
+        if "contract" in debug_skip:
+            acc_ref[:, 0:1] += jnp.sum(eh, axis=1, keepdims=True)
+            lo_ref[:, 0:1] += jnp.sum(el, axis=1, keepdims=True)
+            return
+        vt = v_ref[:]  # (k_p, tn): row c is RHS column c
+        # Compensated contraction: an MXU dot would accumulate in f32 and
+        # reintroduce ~eps·Σ|K·V| error (measured 4e-7 relative — as bad as
+        # the f32 kernel values this path exists to beat). TwoProd each
+        # product, then a TwoSum-compensated binary-tree lane reduction.
+        for c in range(vt.shape[0]):
+            vrow = vt[c : c + 1, :]
+            ph, pe = two_prod(eh, vrow)
+            pe = pe + el * vrow
+            hi_c, lo_c = _comp_lane_sum(ph, pe)
+            a = acc_ref[:, c : c + 1]
+            s, e = two_sum(a, hi_c)
+            acc_ref[:, c : c + 1] = s
+            lo_ref[:, c : c + 1] = lo_ref[:, c : c + 1] + (e + lo_c)
+
+    @pl.when(jnp.logical_and(j == nj - 1, b == nb - 1))
+    def _():
+        o_ref[:] = acc_ref[:]
+        olo_ref[:] = lo_ref[:]
+
+
+def _comp_lane_sum(ph, pe):
+    """Compensated sum over the lane axis: (tm, w) → (tm, 1) as (hi, lo).
+
+    Pairwise halving with TwoSum at every level; level rounding errors and
+    the running lo parts are folded in plain f32 (their own rounding is
+    second-order, ~eps²·Σ). Requires w to be a power of two.
+    """
+    s, err = ph, pe
+    w = s.shape[1]
+    while w > 1:
+        half = w // 2
+        s, e = two_sum(s[:, :half], s[:, half:])
+        err = err[:, :half] + err[:, half:] + e
+        w = half
+    return s, err
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pad_to(a, rows, cols):
+    r = _round_up(a.shape[0], rows) - a.shape[0]
+    c = _round_up(a.shape[1], cols) - a.shape[1]
+    if r or c:
+        a = np.pad(a, ((0, r), (0, c)))
+    return a
+
+
+def kernel_matmat_value64(
+    X1,
+    X2,
+    V,
+    lengthscale,
+    const_scaling: float = 1.0,
+    tile_m: int = 8,
+    tile_n: int = 512,
+    interpret=None,
+    _debug_skip=(),
+):
+    """``c·exp(-||Δ/ls||²/2) @ V`` with ~3e-9-accurate kernel values.
+
+    Eager (not jit-traceable): inputs are pulled to the host once for the
+    exact f64 lengthscale pre-scaling; the compute runs as one Pallas call.
+    Returns ``(hi, lo)`` f32 arrays — add ``lo`` last in consumers.
+
+    Intended use: residual (re-)evaluation in mixed-precision refinement
+    (`LinSys.solve(f64_refine_rounds=..., f64_refine_device="accel")`), not
+    inner solve loops — it costs ~10x the exact-f32 tier.
+    """
+    if interpret is None:
+        # Mosaic only lowers on TPU backends; elsewhere run interpreted
+        # (CPU tests / debugging)
+        from .kernel_dispatch import _on_tpu
+
+        interpret = not _on_tpu()
+    squeeze = np.ndim(V) == 1
+    V = np.asarray(V, np.float32)
+    if squeeze:
+        V = V[:, None]
+    n, d = X1.shape
+    m = X2.shape[0]
+    k = V.shape[1]
+    if d > 64:
+        raise ValueError(
+            f"value64 kernel supports d <= 64 (got d={d}); use the host f64 "
+            "path for wider feature dims"
+        )
+
+    ls64 = np.asarray(lengthscale, np.float64)
+    if ls64.ndim == 0:
+        # scalar lengthscale: keep the raw f32 inputs EXACT (no lo parts,
+        # ~25% fewer distance-loop ops and half the operand traffic) and
+        # fold 1/(2 ls²) into the exp argument as a two-float scalar
+        Xh = np.asarray(X1, np.float32)
+        Yh = np.asarray(X2, np.float32)
+        Xl = Yl = None
+        g64 = 1.0 / (2.0 * float(ls64) ** 2)
+    else:
+        # ARD: pre-scale exactly in f64, ship (hi, lo) pairs
+        Xs = np.asarray(X1, np.float64) / ls64
+        Ys = np.asarray(X2, np.float64) / ls64
+        Xh = Xs.astype(np.float32)
+        Xl = (Xs - Xh).astype(np.float32)
+        Yh = Ys.astype(np.float32)
+        Yl = (Ys - Yh).astype(np.float32)
+        g64 = 0.5
+    gamma_h = np.float32(g64)
+    gamma_l = np.float32(g64 - float(gamma_h))
+
+    if tile_n & (tile_n - 1):
+        raise ValueError(f"tile_n must be a power of two, got {tile_n}")
+    # no k padding: the compensated contraction loops real RHS columns, and
+    # Mosaic accepts blocks spanning the whole (unpadded) k axis — padding
+    # k=1 to 8 was measured to waste 8x of the contraction time
+    k_p = k
+    Vp = _pad_to(V, tile_n, 1)
+
+    fb = _feature_block(d)
+    Xh = _pad_to(Xh, tile_m, fb)
+    Yh = _pad_to(Yh, tile_n, fb)
+    if Xl is not None:
+        Xl = _pad_to(Xl, tile_m, fb)
+        Yl = _pad_to(Yl, tile_n, fb)
+    n_p, d_p = Xh.shape
+    m_p = Yh.shape[0]
+    ni, nj, nb = n_p // tile_m, m_p // tile_n, d_p // fb
+
+    yh_in = jnp.asarray(Yh.T.copy())  # (d_p, m_p)
+
+    if nb == 1:
+        # single slab spans the whole feature axis → plain 2-D blocks are
+        # legal and fastest (no leading-unit-dim indexing in the hot loop)
+        def _xlayout(a):
+            return jnp.asarray(a)
+
+        x_spec = pl.BlockSpec((tile_m, d_p), lambda i, j, b: (i, 0))
+    else:
+        # feature slabs on a leading axis (Mosaic: trailing block dims must
+        # divide 128 or span the axis)
+        def _xlayout(a):
+            return jnp.asarray(
+                np.transpose(a.reshape(n_p, nb, fb), (1, 0, 2))
+            )
+
+        x_spec = pl.BlockSpec((1, tile_m, fb), lambda i, j, b: (b, i, 0))
+
+    y_spec = pl.BlockSpec((fb, tile_n), lambda i, j, b: (b, j))
+    o_spec = pl.BlockSpec((tile_m, k_p), lambda i, j, b: (i, 0))
+    v_spec = pl.BlockSpec((k_p, tile_n), lambda i, j, b: (0, j))
+
+    if Xl is None:
+        body = functools.partial(
+            _body_f32, nj=nj, nb=nb, gamma_h=gamma_h, gamma_l=gamma_l,
+            debug_skip=_debug_skip,
+        )
+        inputs = [_xlayout(Xh), yh_in, jnp.asarray(Vp.T.copy())]
+        in_specs = [x_spec, y_spec, v_spec]
+    else:
+        body = functools.partial(
+            _body, nj=nj, nb=nb, gamma_h=gamma_h, gamma_l=gamma_l,
+            debug_skip=_debug_skip,
+        )
+        inputs = [
+            _xlayout(Xh), _xlayout(Xl), yh_in,
+            jnp.asarray(Yl.T.copy()), jnp.asarray(Vp.T.copy()),
+        ]
+        in_specs = [x_spec, x_spec, y_spec, y_spec, v_spec]
+
+    hi, lo = pl.pallas_call(
+        body,
+        grid=(ni, nj, nb),
+        in_specs=in_specs,
+        out_specs=[o_spec, o_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_p, k_p), jnp.float32),
+            jax.ShapeDtypeStruct((n_p, k_p), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_m, k_p), jnp.float32),
+            pltpu.VMEM((tile_m, k_p), jnp.float32),
+            pltpu.VMEM((tile_m, tile_n), jnp.float32),
+            pltpu.VMEM((tile_m, tile_n), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(35 * n_p) * int(m_p) * int(d_p),
+            bytes_accessed=(2 * (n_p + m_p) * d_p + (m_p + 2 * n_p) * k_p) * 4,
+            transcendentals=n_p * m_p,
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+    hi = hi[:n, :k]
+    lo = lo[:n, :k]
+    c = float(const_scaling)
+    if c != 1.0:
+        # two-float scale: keep the hi-part rounding error in lo
+        ch, ce = two_prod(hi, jnp.float32(c))
+        hi, lo = ch, lo * jnp.float32(c) + ce
+    if squeeze:
+        hi, lo = hi[:, 0], lo[:, 0]
+    return hi, lo

@@ -243,10 +243,12 @@ class TestConfigSerialization:
 
 
 class TestF64Refinement:
-    def test_kernel_krr_refinement_beats_f32_floor(self, key):
-        """Mixed-precision refinement: f32 solve + f64 host residual +
-        f32 correction solves reach a TRUE residual the plain f32 solve
-        cannot certify (it converges to the f32-perturbed operator)."""
+    @pytest.mark.parametrize("refine_device", ["cpu", "accel"])
+    def test_kernel_krr_refinement_beats_f32_floor(self, key, refine_device):
+        """Mixed-precision refinement: f32 solve + f64 residual (host or
+        accelerator-streamed) + f32 correction solves reach a TRUE residual
+        the plain f32 solve cannot certify (it converges to the
+        f32-perturbed operator)."""
         import numpy as np
 
         from rlaopt_tpu.kernels import KernelConfig, RBFLinOp
@@ -267,7 +269,7 @@ class TestF64Refinement:
         sys_ = LinSys(K, y, reg=float(reg))
         W64, log = sys_.solve(
             cfg, jnp.zeros((n, 1), jnp.float32), callback_freq=20, key=key,
-            f64_refine_rounds=2,
+            f64_refine_rounds=2, f64_refine_device=refine_device,
         )
         assert W64.dtype == np.float64
         hist = log["f64_refine"]["rel_res_f64"]
