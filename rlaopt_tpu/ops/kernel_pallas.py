@@ -154,41 +154,60 @@ def _finish_dot(kind, cross, hx, hy):
     return _finish_sqdist(kind, jnp.maximum(hx + hy - cross, 0.0))
 
 
-def _acc_update(acc_ref, k_tile, v_ref, acc_mode: str):
-    """Accumulate ``k_tile @ v`` into the output scratch.
+def _acc_update(acc_ref, k_tile, vt_ref, acc_mode: str):
+    """Accumulate ``k_tile @ v`` into the output scratch (V arrives
+    TRANSPOSED: ``vt_ref`` is (k_p, tn), row c = RHS column c).
 
-    acc_mode: "highest" (6-pass, used by the exact tier where it hides under
-    the 6-pass cross term), "split" (manual 3-pass bf16 hi/lo of both
-    operands, ~2⁻¹⁸ relative — measured +16% end-to-end on the bf16x3 tier),
-    or "fast" (single bf16 pass, for the bf16 tier).
+    acc_mode:
+
+    * "vpu" — per-RHS-column broadcast-multiply + lane reduction on the VPU,
+      exact f32 (~6e-7 worst-entry over 16k columns). The MXU alternative
+      pads k to the 128-lane width: a k=8 HIGHEST contraction costs 6 passes
+      x 16x padding — measured 1.75 ms of the 8.9 ms exact-tier matvec at
+      n=m=16384, d=256. Used when k_p <= 16.
+    * "highest" — 6-pass MXU; right choice once k_p is lane-sized (k ≳ 128,
+      e.g. Nyström sketch matmats) where padding waste vanishes.
+    * "split" — manual 3-pass bf16 hi/lo of both operands, ~2⁻¹⁸ relative.
+    * "fast" — single bf16 pass, for the bf16 tier.
     """
     f32 = jnp.float32
-    v = v_ref[:].astype(f32)
+    vt = vt_ref[:].astype(f32)
+    if acc_mode == "vpu":
+        for c in range(vt.shape[0]):
+            col = jnp.sum(
+                k_tile * vt[c : c + 1, :], axis=1, keepdims=True
+            )
+            acc_ref[:, c : c + 1] += col
+        return
     if acc_mode == "split":
         kh = k_tile.astype(jnp.bfloat16)
         kl = (k_tile - kh.astype(f32)).astype(jnp.bfloat16)
-        vh = v.astype(jnp.bfloat16)
-        vl = (v - vh.astype(f32)).astype(jnp.bfloat16)
+        vh = vt.astype(jnp.bfloat16)
+        vl = (vt - vh.astype(f32)).astype(jnp.bfloat16)
         acc_ref[:] += (
-            lax.dot_general(kh, vh, _DN, preferred_element_type=f32)
-            + lax.dot_general(kh, vl, _DN, preferred_element_type=f32)
-            + lax.dot_general(kl, vh, _DN, preferred_element_type=f32)
+            lax.dot_general(kh, vh, _DN_T, preferred_element_type=f32)
+            + lax.dot_general(kh, vl, _DN_T, preferred_element_type=f32)
+            + lax.dot_general(kl, vh, _DN_T, preferred_element_type=f32)
         )
         return
     precision = lax.Precision.HIGHEST if acc_mode == "highest" else None
     acc_ref[:] += lax.dot_general(
         k_tile,
-        v,
-        dimension_numbers=_DN,
+        vt,
+        dimension_numbers=_DN_T,
         preferred_element_type=f32,
         precision=precision,
     )
 
 
 _DN = (((1,), (0,)), ((), ()))
+# k_tile (tm, tn) contracted with V^T (k_p, tn) along tn → (tm, k_p)
+_DN_T = (((1,), (1,)), ((), ()))
 
 
-def _body_exact(x_ref, y_ref, hx_ref, hy_ref, v_ref, o_ref, acc_ref, *, kind, nj):
+def _body_exact(
+    x_ref, y_ref, hx_ref, hy_ref, v_ref, o_ref, acc_ref, *, kind, nj, acc_mode
+):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -204,7 +223,7 @@ def _body_exact(x_ref, y_ref, hx_ref, hy_ref, v_ref, o_ref, acc_ref, *, kind, nj
         precision=lax.Precision.HIGHEST,
     )
     _acc_update(
-        acc_ref, _finish_dot(kind, cross, hx_ref[:], hy_ref[:]), v_ref, "highest"
+        acc_ref, _finish_dot(kind, cross, hx_ref[:], hy_ref[:]), v_ref, acc_mode
     )
 
     @pl.when(j == nj - 1)
@@ -262,7 +281,9 @@ def _body_bf16(x_ref, y_ref, hx_ref, hy_ref, v_ref, o_ref, acc_ref, *, kind, nj)
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
-def _body_direct(x_ref, y_ref, v_ref, o_ref, acc_ref, *, kind, nj, d_orig):
+def _body_direct(
+    x_ref, y_ref, v_ref, o_ref, acc_ref, *, kind, nj, d_orig, acc_mode
+):
     """Small-d exact path: VPU feature loop, no MXU padding waste."""
     j = pl.program_id(1)
 
@@ -271,7 +292,7 @@ def _body_direct(x_ref, y_ref, v_ref, o_ref, acc_ref, *, kind, nj, d_orig):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     k_tile = _finish_sqdist(kind, _sqdist_direct(x_ref[:], y_ref[:], d_orig))
-    _acc_update(acc_ref, k_tile, v_ref, "highest")
+    _acc_update(acc_ref, k_tile, v_ref, acc_mode)
 
     @pl.when(j == nj - 1)
     def _():
@@ -313,7 +334,7 @@ def _body_exact_comp(
     )
     k_tile = _finish_dot(kind, cross, hx_ref[:], hy_ref[:])
     p = lax.dot_general(
-        k_tile, v_ref[:].astype(jnp.float32), _DN,
+        k_tile, v_ref[:].astype(jnp.float32), _DN_T,
         preferred_element_type=jnp.float32,
         precision=lax.Precision.HIGHEST,
     )
@@ -338,7 +359,7 @@ def _body_direct_comp(
 
     k_tile = _finish_sqdist(kind, _sqdist_direct(x_ref[:], y_ref[:], d_orig))
     p = lax.dot_general(
-        k_tile, v_ref[:].astype(jnp.float32), _DN,
+        k_tile, v_ref[:].astype(jnp.float32), _DN_T,
         preferred_element_type=jnp.float32,
         precision=lax.Precision.HIGHEST,
     )
@@ -351,7 +372,7 @@ def _body_direct_comp(
 
 
 def _body_laplace(
-    x_ref, y_ref, v_ref, o_ref, *rest, nj, nb, d_orig, compensated
+    x_ref, y_ref, v_ref, o_ref, *rest, nj, nb, d_orig, compensated, acc_mode
 ):
     """Laplace (L1) kernel with a third grid axis over 64-feature blocks.
 
@@ -391,13 +412,13 @@ def _body_laplace(
         k_tile = jnp.exp(-l1_ref[:])
         if compensated:
             p = lax.dot_general(
-                k_tile, v_ref[:].astype(jnp.float32), _DN,
+                k_tile, v_ref[:].astype(jnp.float32), _DN_T,
                 preferred_element_type=jnp.float32,
                 precision=lax.Precision.HIGHEST,
             )
             _twosum_accumulate(acc_ref, lo_ref, p)
         else:
-            _acc_update(acc_ref, k_tile, v_ref, "highest")
+            _acc_update(acc_ref, k_tile, v_ref, acc_mode)
 
     @pl.when(jnp.logical_and(j == nj - 1, b == nb - 1))
     def _():
@@ -445,7 +466,8 @@ def _laplace_matmat(Xs, Ys, V, tile_m, tile_n, interpret, compensated):
         x_spec = pl.BlockSpec((1, tile_m, fb), lambda i, j, b: (b, i, 0))
 
     body = functools.partial(
-        _body_laplace, nj=nj, nb=nb, d_orig=d, compensated=compensated
+        _body_laplace, nj=nj, nb=nb, d_orig=d, compensated=compensated,
+        acc_mode="vpu" if k_p <= 16 else "highest",
     )
     o_spec = pl.BlockSpec((tile_m, k_p), lambda i, j, b: (i, 0))
     out_specs = [o_spec, o_spec] if compensated else o_spec
@@ -465,7 +487,7 @@ def _laplace_matmat(Xs, Ys, V, tile_m, tile_n, interpret, compensated):
         in_specs=[
             x_spec,
             pl.BlockSpec((fb, tile_n), lambda i, j, b: (b, j)),
-            pl.BlockSpec((tile_n, k_p), lambda i, j, b: (j, 0)),
+            pl.BlockSpec((k_p, tile_n), lambda i, j, b: (0, j)),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -479,7 +501,7 @@ def _laplace_matmat(Xs, Ys, V, tile_m, tile_n, interpret, compensated):
             transcendentals=n_p * m_p,
         ),
         interpret=interpret,
-    )(x_in, Yp.T, Vp)
+    )(x_in, Yp.T, Vp.T)
 
 
 def _pad_axis(x, multiple, axis):
@@ -590,10 +612,16 @@ def kernel_matmat_pallas(
         Xp = _pad_axis(_pad_axis(Xs, tile_m, 0), 128, 1)
         Yp = _pad_axis(_pad_axis(Ys, tile_n, 0), 128, 1)
         inputs = [Xp, Yp.T]
-        body_fn = _body_direct_comp if compensated else _body_direct
-        body = functools.partial(
-            body_fn, kind=kind, nj=Yp.shape[0] // tile_n, d_orig=d
-        )
+        if compensated:
+            body = functools.partial(
+                _body_direct_comp, kind=kind, nj=Yp.shape[0] // tile_n,
+                d_orig=d,
+            )
+        else:
+            body = functools.partial(
+                _body_direct, kind=kind, nj=Yp.shape[0] // tile_n, d_orig=d,
+                acc_mode="vpu" if k_p8 <= 16 else "highest",
+            )
     else:
         Xc, YcT, hx, hyT = _norms_and_operands(kind, Xs, Ys)
         Xc = _pad_axis(_pad_axis(Xc, tile_m, 0), 128, 1)
@@ -616,8 +644,13 @@ def kernel_matmat_pallas(
             body = functools.partial(_body_bf16, kind=kind, nj=nj)
         else:
             inputs = [Xc, YcT]
-            body_fn = _body_exact_comp if compensated else _body_exact
-            body = functools.partial(body_fn, kind=kind, nj=nj)
+            if compensated:
+                body = functools.partial(_body_exact_comp, kind=kind, nj=nj)
+            else:
+                body = functools.partial(
+                    _body_exact, kind=kind, nj=nj,
+                    acc_mode="vpu" if k_p8 <= 16 else "highest",
+                )
 
     n_p = inputs[0].shape[0]
     d_p = inputs[0].shape[1]
@@ -630,7 +663,7 @@ def kernel_matmat_pallas(
     y_spec = pl.BlockSpec((d_p, tile_n), lambda i, j: (0, j))
     n_x = len(inputs) // 2
     in_specs = [x_spec] * n_x + [y_spec] * n_x + norm_specs + [
-        pl.BlockSpec((tile_n, k_p), lambda i, j: (j, 0))
+        pl.BlockSpec((k_p, tile_n), lambda i, j: (0, j))
     ]
     inputs = inputs + norm_inputs
 
@@ -673,7 +706,7 @@ def kernel_matmat_pallas(
             transcendentals=n_p * m_p,
         ),
         interpret=interpret,
-    )(*inputs, Vp)
+    )(*inputs, Vp.T)
 
     c = jnp.asarray(const_scaling, V.dtype)
     if compensated:
