@@ -61,15 +61,27 @@ def _bench_scalar(f, chain, trials=3):
     return min(times) / chain
 
 
-def make_peak(chain=20):
+def make_peak(chain=300):
+    # chain must be long enough that the tunnel's fixed per-call dispatch
+    # latency (~tens of ms) vanishes against device time: 20×1.5 ms matmuls
+    # under-read the peak by ~20%; 300 (~450 ms device time) matches the
+    # kernel chains' duty cycle.
     A = jax.random.normal(jax.random.PRNGKey(1), (N_PEAK, N_PEAK), jnp.bfloat16)
+    # Constant rescale instead of a max-normalization: a reduction between
+    # matmuls serializes the pipeline and was measured to cost the peak loop
+    # ~20% (exact-tier kernels then read >100% of "roofline"). The constant
+    # is the entrywise growth factor sqrt(N) of a Gaussian product; bf16's
+    # f32-sized exponent absorbs the residual drift over the chain.
+    scale = jnp.asarray(1.0 / N_PEAK**0.5, jnp.bfloat16)
 
+    # lax.fori_loop keeps the HLO one-body-sized: the fully unrolled version
+    # takes tens of minutes to compile cold on the remote-compile runtime.
     @jax.jit
     def f():
-        x = A
-        for _ in range(chain):
-            x = jnp.matmul(x, A, preferred_element_type=jnp.bfloat16)
-            x = (x / jnp.max(jnp.abs(x))).astype(jnp.bfloat16)
+        def body(_, x):
+            return jnp.matmul(x, A, preferred_element_type=jnp.bfloat16) * scale
+
+        x = jax.lax.fori_loop(0, chain, body, A, unroll=5)
         return jnp.sum(x.astype(jnp.float32))
 
     return f, 2.0 * N_PEAK**3, chain
@@ -85,13 +97,14 @@ def make_kernel(tier, chain=10):
 
     @jax.jit
     def f():
-        v = V0
-        for _ in range(chain):
+        def body(_, v):
             out = kernel_matmat_pallas(
                 "rbf", X1, X2, v, float(D) ** 0.5, 1.0,
                 compute_dtype=TIER_ARG[tier],
             )
-            v = out / jnp.linalg.norm(out)
+            return out / jnp.linalg.norm(out)
+
+        v = jax.lax.fori_loop(0, chain, body, V0)
         return jnp.sum(v)
 
     return f, 2.0 * N * M * (D + K), chain
@@ -113,10 +126,12 @@ def main():
     def med(xs):
         return sorted(xs)[len(xs) // 2]
 
+    # Median across interleaved reps for BOTH numerator and denominator —
+    # symmetric treatment under the time-shared chip's throttle swings.
     peak = med(reps["peak"])
     tiers = {}
     for tier, passes in PASSES.items():
-        tf = max(reps[tier])
+        tf = med(reps[tier])
         roofline = peak * (D + K) / (passes * D)
         tiers[tier] = {
             "tflops": round(tf, 2),
