@@ -300,7 +300,7 @@ def _f64_residual_sampled(X, y, W, reg, lengthscale, s=4096, seed=7):
     return rel, rel / np.sqrt(2.0 * s)
 
 
-def config6_northstar_1m_pcg(max_iters=300):
+def config6_northstar_1m_pcg(max_iters=150):
     """North star, measured: n=1M RBF KRR solved to TRUE rel-res <= 1e-6.
 
     BASELINE.json: "solve n=1M-point RBF KRR to 1e-6 relative residual ...
@@ -333,9 +333,12 @@ def config6_northstar_1m_pcg(max_iters=300):
         precond_config=NystromConfig(rank=500, rho=float(reg)),
     )
     t0 = time.perf_counter()
+    # one refinement round: measured contraction per round is ~1e4x (e.g.
+    # 6.8e-5 -> 6.3e-9 at n=4096), so a single round certifies 1e-6 with
+    # two value64 residual evaluations (~20-50 min each at n=1M)
     W64, log = sys_.solve(
         cfg, jnp.zeros((n, 1), dtype=jnp.float32), callback_freq=25, key=key,
-        f64_refine_rounds=2, f64_refine_device="accel",
+        f64_refine_rounds=1, f64_refine_device="accel",
     )
     wall = time.perf_counter() - t0
     it = max(i for i in log.keys() if isinstance(i, int))
