@@ -63,6 +63,22 @@ def nystrom_update(A_mm, n: int, rank: int, sketch: str, key, dtype) -> NystromF
     Core = Core + shift * jnp.eye(rank, dtype=dtype)
     L = jnp.linalg.cholesky(Core)
     B = solve_tri_lower(L, Y.T)  # (r, n)
+    if n > 64 * rank:
+        # Tall case: an (n, r) SVD materializes several O(n·r) workspaces —
+        # at n=1e6, r=500 that crashed the TPU worker (HBM OOM). The r×r
+        # Gram-eigh route needs only one extra (n, r) product:
+        # B Bᵀ = V diag(σ²) Vᵀ  ⇒  U = Bᵀ V diag(1/σ).
+        G = hmm(B, B.T)  # (r, r)
+        evals, V = jnp.linalg.eigh(G)  # ascending
+        evals = evals[::-1]
+        V = V[:, ::-1]
+        sig = jnp.sqrt(jnp.maximum(evals, jnp.zeros((), dtype)))
+        inv_sig = jnp.where(
+            sig > jnp.finfo(dtype).eps * jnp.max(sig), 1.0 / sig, 0.0
+        )
+        U = hmm(B.T, V * inv_sig[None, :])
+        S = jnp.maximum(evals - shift, jnp.zeros((), dtype=dtype))
+        return NystromFactors(U=U, S=S)
     U, Svals, _ = jnp.linalg.svd(B.T, full_matrices=False)
     S = jnp.maximum(Svals**2 - shift, jnp.zeros((), dtype=dtype))
     return NystromFactors(U=U, S=S)
