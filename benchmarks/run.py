@@ -326,7 +326,9 @@ def config6_northstar_1m_pcg(max_iters=150):
     X, y, source = _higgs(n)
     reg = 1e-4 * n
     ls = 28.0**0.5
-    K = RBFLinOp(X, X, KernelConfig(lengthscale=ls))
+    # bf16x3 operator tier: the refinement certifies the final answer, so
+    # base-solve kernel precision is immaterial — take the fast MXU path
+    K = RBFLinOp(X, X, KernelConfig(lengthscale=ls), compute_dtype="bf16x3")
     sys_ = LinSys(K, y, reg=float(reg))
     cfg = PCGConfig(
         max_iters=max_iters, rtol=1e-6,
@@ -335,9 +337,11 @@ def config6_northstar_1m_pcg(max_iters=150):
     t0 = time.perf_counter()
     # one refinement round: measured contraction per round is ~1e4x (e.g.
     # 6.8e-5 -> 6.3e-9 at n=4096), so a single round certifies 1e-6 with
-    # two value64 residual evaluations (~20-50 min each at n=1M)
+    # two value64 residual evaluations. callback_freq=3 keeps each compiled
+    # PCG chunk under the runtime's ~80 s execution watchdog (a 1M matvec
+    # is ~15-20 s).
     W64, log = sys_.solve(
-        cfg, jnp.zeros((n, 1), dtype=jnp.float32), callback_freq=25, key=key,
+        cfg, jnp.zeros((n, 1), dtype=jnp.float32), callback_freq=3, key=key,
         f64_refine_rounds=1, f64_refine_device="accel",
     )
     wall = time.perf_counter() - t0
@@ -356,7 +360,7 @@ def config6_northstar_1m_pcg(max_iters=150):
             "rel_res_f64_per_round": [float(max(h)) for h in hist],
             "rel_res_sampled_independent": rel_sampled,
             "rel_res_sampled_stderr": stderr,
-            "s_per_iter_steady_state": round(med_chunk / 25.0, 2),
+            "s_per_iter_steady_state": round(med_chunk / 3.0, 2),
             "a100_calibrated_s_per_iter": 7.8,
             "dataset": source,
         },

@@ -588,8 +588,11 @@ def kernel_matmat_pallas(
 
     # Path selection: exact small-d VPU loop dodges 128-lane padding AND
     # excess-precision demotion; Laplace routes to its dedicated feature-
-    # blocked VPU kernel (any d).
-    direct = cd in (None, "bf16x3") and d <= 32
+    # blocked VPU kernel (any d). A bf16x3 request takes the MXU path even
+    # at small d — the caller asked for speed, and the 3-pass 128-padded
+    # cross is ~1.4x faster than the exact VPU loop at d≈28 (the exact VPU
+    # path is the accuracy choice, cd=None).
+    direct = cd is None and d <= 32
 
     k_p8 = _round_up(k, 8)
     if tile_m is None or tile_n is None:
