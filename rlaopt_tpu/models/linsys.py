@@ -330,29 +330,21 @@ class LinSys(Model):
 
         X1, X2, ls = d["X1"], d["X2"], d["ls"]
         c = float(d["scale"])
-        X1h = np.asarray(X1)
-        m = X2.shape[0]
-        # Row-chunk the value64 sweep: the tunnel runtime kills any single
-        # device execution longer than ~80 s (measured: 77 s OK, ~92 s
-        # crashes the worker — even for plain matmul chains). ~2.5e9 pairs
-        # per chunk keeps each Pallas call well under the limit, and equal
-        # chunk sizes reuse one compiled kernel.
-        rows = max(1024, int(2.5e9 // max(m, 1)) // 1024 * 1024)
 
         def mm(W64):
             Wh = W64.astype(np.float32)
             Wl = (W64 - Wh).astype(np.float32)
-            outs = []
-            for s in range(0, X1h.shape[0], rows):
-                hi, lo = kernel_matmat_value64(
-                    X1h[s : s + rows], X2, Wh, ls, c
-                )
-                outs.append(
-                    np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
-                )
-            out = np.concatenate(outs, axis=0)
+            # kernel_matmat_value64 row-chunks its sweep internally (the
+            # runtime kills single device executions over ~80 s) with the
+            # Y-side prepared once — per-call Y re-prep here leaked ~130 GB
+            # of host memory over 489 chunks at n=1M.
+            hi, lo = kernel_matmat_value64(X1, X2, Wh, ls, c)
             low = kernel_matmat("rbf", X1, X2, jnp.asarray(Wl), ls, c)
-            return out + np.asarray(low, np.float64)
+            return (
+                np.asarray(hi, np.float64)
+                + np.asarray(lo, np.float64)
+                + np.asarray(low, np.float64)
+            )
 
         return mm
 

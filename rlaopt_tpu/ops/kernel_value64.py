@@ -187,6 +187,7 @@ def kernel_matmat_value64(
     const_scaling: float = 1.0,
     tile_m: int = 8,
     tile_n: int = 512,
+    chunk_rows=None,
     interpret=None,
     _debug_skip=(),
 ):
@@ -249,30 +250,40 @@ def kernel_matmat_value64(
     Vp = _pad_to(V, tile_n, 1)
 
     fb = _feature_block(d)
-    Xh = _pad_to(Xh, tile_m, fb)
+    # Row-chunk the sweep: the runtime kills single device executions
+    # longer than ~80 s, so cap each Pallas call at ~2.5e9 kernel pairs.
+    # All per-call X chunks share one shape (one compile); the Y-side
+    # preparation happens ONCE here — per-chunk Y re-prep at n=1M leaked
+    # ~130 GB of host memory through 489 iterations before this refactor.
+    if chunk_rows is None:
+        chunk_rows = max(tile_m, int(2.5e9) // max(m, 1))
+    chunk_rows = min(_round_up(chunk_rows, tile_m), _round_up(n, tile_m))
+    Xh = _pad_to(Xh, chunk_rows, fb)
     Yh = _pad_to(Yh, tile_n, fb)
     if Xl is not None:
-        Xl = _pad_to(Xl, tile_m, fb)
+        Xl = _pad_to(Xl, chunk_rows, fb)
         Yl = _pad_to(Yl, tile_n, fb)
     n_p, d_p = Xh.shape
     m_p = Yh.shape[0]
-    ni, nj, nb = n_p // tile_m, m_p // tile_n, d_p // fb
+    ni, nj, nb = chunk_rows // tile_m, m_p // tile_n, d_p // fb
 
     yh_in = jnp.asarray(Yh.T.copy())  # (d_p, m_p)
+    yl_in = None if Xl is None else jnp.asarray(Yl.T.copy())
+    vt_in = jnp.asarray(Vp.T.copy())
 
     if nb == 1:
         # single slab spans the whole feature axis → plain 2-D blocks are
         # legal and fastest (no leading-unit-dim indexing in the hot loop)
         def _xlayout(a):
-            return jnp.asarray(a)
+            return a
 
         x_spec = pl.BlockSpec((tile_m, d_p), lambda i, j, b: (i, 0))
     else:
         # feature slabs on a leading axis (Mosaic: trailing block dims must
         # divide 128 or span the axis)
         def _xlayout(a):
-            return jnp.asarray(
-                np.transpose(a.reshape(n_p, nb, fb), (1, 0, 2))
+            return np.ascontiguousarray(
+                np.transpose(a.reshape(a.shape[0], nb, fb), (1, 0, 2))
             )
 
         x_spec = pl.BlockSpec((1, tile_m, fb), lambda i, j, b: (b, i, 0))
@@ -286,27 +297,32 @@ def kernel_matmat_value64(
             _body_f32, nj=nj, nb=nb, gamma_h=gamma_h, gamma_l=gamma_l,
             debug_skip=_debug_skip,
         )
-        inputs = [_xlayout(Xh), yh_in, jnp.asarray(Vp.T.copy())]
-        in_specs = [x_spec, y_spec, v_spec]
     else:
         body = functools.partial(
             _body, nj=nj, nb=nb, gamma_h=gamma_h, gamma_l=gamma_l,
             debug_skip=_debug_skip,
         )
-        inputs = [
-            _xlayout(Xh), _xlayout(Xl), yh_in,
-            jnp.asarray(Yl.T.copy()), jnp.asarray(Vp.T.copy()),
-        ]
-        in_specs = [x_spec, x_spec, y_spec, y_spec, v_spec]
 
-    hi, lo = pl.pallas_call(
+    def _chunk_inputs(s0):
+        xh_c = _xlayout(Xh[s0 : s0 + chunk_rows])
+        if Xl is None:
+            return [jnp.asarray(xh_c), yh_in, vt_in]
+        xl_c = _xlayout(Xl[s0 : s0 + chunk_rows])
+        return [jnp.asarray(xh_c), jnp.asarray(xl_c), yh_in, yl_in, vt_in]
+
+    in_specs = (
+        [x_spec, y_spec, v_spec]
+        if Xl is None
+        else [x_spec, x_spec, y_spec, y_spec, v_spec]
+    )
+    call = pl.pallas_call(
         body,
         grid=(ni, nj, nb),
         in_specs=in_specs,
         out_specs=[o_spec, o_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((n_p, k_p), jnp.float32),
-            jax.ShapeDtypeStruct((n_p, k_p), jnp.float32),
+            jax.ShapeDtypeStruct((chunk_rows, k_p), jnp.float32),
+            jax.ShapeDtypeStruct((chunk_rows, k_p), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((tile_m, k_p), jnp.float32),
@@ -318,15 +334,22 @@ def kernel_matmat_value64(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=int(35 * n_p) * int(m_p) * int(d_p),
-            bytes_accessed=(2 * (n_p + m_p) * d_p + (m_p + 2 * n_p) * k_p) * 4,
-            transcendentals=n_p * m_p,
+            flops=int(35 * chunk_rows) * int(m_p) * int(d_p),
+            bytes_accessed=(
+                2 * (chunk_rows + m_p) * d_p + (m_p + 2 * chunk_rows) * k_p
+            ) * 4,
+            transcendentals=chunk_rows * m_p,
         ),
         interpret=interpret,
-    )(*inputs)
+    )
 
-    hi = hi[:n, :k]
-    lo = lo[:n, :k]
+    his, los = [], []
+    for s0 in range(0, n_p, chunk_rows):
+        h, l = call(*_chunk_inputs(s0))
+        his.append(np.asarray(h))
+        los.append(np.asarray(l))
+    hi = jnp.asarray(np.concatenate(his, axis=0)[:n, :k])
+    lo = jnp.asarray(np.concatenate(los, axis=0)[:n, :k])
     c = float(const_scaling)
     if c != 1.0:
         # two-float scale: keep the hi-part rounding error in lo
