@@ -300,7 +300,7 @@ def _f64_residual_sampled(X, y, W, reg, lengthscale, s=4096, seed=7):
     return rel, rel / np.sqrt(2.0 * s)
 
 
-def config6_northstar_1m_pcg(max_iters=150):
+def config6_northstar_1m_pcg(max_iters=60):
     """North star, measured: n=1M RBF KRR solved to TRUE rel-res <= 1e-6.
 
     BASELINE.json: "solve n=1M-point RBF KRR to 1e-6 relative residual ...
@@ -336,10 +336,10 @@ def config6_northstar_1m_pcg(max_iters=150):
     )
     t0 = time.perf_counter()
     # one refinement round: measured contraction per round is ~1e4x (e.g.
-    # 6.8e-5 -> 6.3e-9 at n=4096), so a single round certifies 1e-6 with
-    # two value64 residual evaluations. callback_freq=3 keeps each compiled
-    # PCG chunk under the runtime's ~80 s execution watchdog (a 1M matvec
-    # is ~15-20 s).
+    # 6.8e-5 -> 6.3e-9 at n=4096), so 60 base iterations (~1e-3..1e-4) and
+    # a single round certify well below 1e-6 with two value64 residual
+    # evaluations. callback_freq=3 keeps each compiled PCG chunk under the
+    # runtime's ~80 s execution watchdog (a 1M matvec is ~15-20 s).
     W64, log = sys_.solve(
         cfg, jnp.zeros((n, 1), dtype=jnp.float32), callback_freq=3, key=key,
         f64_refine_rounds=1, f64_refine_device="accel",
