@@ -11,9 +11,11 @@ through BOTH the actual PyTorch reference SAP and ours for the same 300
 iterations with the experiment's own hyperparameters (blk = n/100, Nystrom
 rank 100, mu=reg, nu=100, 10 power iterations, accelerated).
 
-Expected outcome (and what round-2 measured): both stall at rel-res ~0.99,
-with per-iteration contraction ~1-1e-5 — the stall is a property of the
-problem spectrum, not of either implementation.
+Measured outcome (round 2, recorded in benchmarks/RESULTS_r2.md): the
+reference reaches rel-res 0.8266 after 300 iterations (contraction
+~0.999196/iter) and ours 0.8118 (~0.999305/iter) — both sides stall far
+from 1e-6 at a ~7e-4-per-iteration contraction, so the stall is a property
+of the problem spectrum, not of either implementation.
 
 Run:  PYTHONPATH=/tmp/refbuild python benchmarks/askotch_control.py
 (the reference must be importable; see tests/parity/conftest.py)

@@ -62,6 +62,12 @@ class LinOp:
     # Which constructor kwargs this class forwards on structural rebuilds.
     _is_two_sided = False
 
+    # Opt out of numpy's ufunc machinery so ``np_array @ op`` defers to
+    # ``op.__rmatmul__`` instead of trying to coerce the operator to an
+    # ndarray (matches the reference's x @ A usage surface,
+    # rlaopt/sparse/sparse_tensor.py:114-126).
+    __array_ufunc__ = None
+
     def __init__(
         self,
         shape: Tuple[int, int],
@@ -328,13 +334,21 @@ def _compose(A: LinOp, B: LinOp) -> LinOp:
     return LinOp((A.shape[0], B.shape[1]), mv, matmat=mm, dtype=A.dtype, data=(A, B))
 
 
-def aslinop(M: jax.Array) -> TwoSidedLinOp:
-    """Wrap a dense matrix as a two-sided operator.
+def aslinop(M) -> TwoSidedLinOp:
+    """Wrap a dense matrix — or a sparse CSR/CSC tensor — as a two-sided
+    operator.
 
-    Applies run at HIGHEST matmul precision: on TPU the default f32 matmul
-    uses bf16 passes, which breaks PSD-ness assumptions downstream
-    (preconditioner Cholesky factorizations NaN at bf16 accuracy).
+    Dense applies run at HIGHEST matmul precision: on TPU the default f32
+    matmul uses bf16 passes, which breaks PSD-ness assumptions downstream
+    (preconditioner Cholesky factorizations NaN at bf16 accuracy). Sparse
+    tensors dispatch to :func:`rlaopt_tpu.sparse.linop.sparse_aslinop`.
     """
+    from ..sparse.sparse_tensor import _SparseTensor
+
+    if isinstance(M, _SparseTensor):
+        from ..sparse.linop import sparse_aslinop
+
+        return sparse_aslinop(M)
     M = jnp.asarray(M)
     if M.ndim != 2:
         raise ValueError(f"expected a 2D matrix, got {M.ndim}D")

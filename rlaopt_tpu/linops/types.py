@@ -19,8 +19,13 @@ def is_linop(obj: Any) -> bool:
 
 
 def _is_linop_or_array(param: Any, param_name: str):
-    if not isinstance(param, (LinOp, jax.Array, np.ndarray)):
-        raise TypeError(
-            f"{param_name} is of type {type(param).__name__}, "
-            "but expected type LinOpType or jax.Array"
-        )
+    if isinstance(param, (LinOp, jax.Array, np.ndarray)):
+        return
+    from ..sparse.sparse_tensor import _SparseTensor
+
+    if isinstance(param, _SparseTensor):
+        return
+    raise TypeError(
+        f"{param_name} is of type {type(param).__name__}, "
+        "but expected type LinOpType, jax.Array, or a sparse tensor"
+    )

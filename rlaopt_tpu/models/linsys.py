@@ -15,7 +15,7 @@ from typing import Any, Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from .model import Model
+from .model import Model, _wrap_sparse
 from ..linops.base import LinOp
 from ..linops.types import _is_linop_or_array
 from ..solvers import _get_solver, _get_solver_name, _is_solver_config
@@ -56,7 +56,7 @@ class LinSys(Model):
             A_blk_oracle: ``blk → K[blk, blk]`` operator (SAP).
         """
         self._check_inputs(A, B, reg, A_row_oracle, A_blk_oracle)
-        self._A = A
+        self._A = _wrap_sparse(A)
         B = jnp.asarray(B)
         self._B = B[:, None] if B.ndim == 1 else B
         self._reg = reg
@@ -147,8 +147,8 @@ class LinSys(Model):
         solver_config,
         W_init: jax.Array,
         callback_fn: Optional[Callable] = None,
-        callback_args: list = [],
-        callback_kwargs: dict = {},
+        callback_args: Optional[list] = None,
+        callback_kwargs: Optional[dict] = None,
         callback_freq: int = 10,
         log_in_wandb: bool = False,
         wandb_init_kwargs: Optional[dict] = None,
@@ -206,7 +206,9 @@ class LinSys(Model):
         def termination_fn(internal_metrics):
             return self._check_termination_criteria(internal_metrics, atol, rtol)
 
-        log_fn = self._get_log_fn(callback_fn, callback_args, callback_kwargs)
+        log_fn = self._get_log_fn(
+            callback_fn, callback_args or [], callback_kwargs or {}
+        )
         wandb_kwargs = self._get_wandb_kwargs(
             log_in_wandb=log_in_wandb,
             wandb_init_kwargs=wandb_init_kwargs,
@@ -284,21 +286,50 @@ class LinSys(Model):
             # host-sized, and at m ~ 1e6 it degenerates to 8-row blocks.
             rb = 128 if device == "accel" else None
 
+            # Watchdog-safe chunking: emulated f64 runs at ~0.6 G
+            # elementwise ops/s on TPU and any single device execution
+            # past ~80-90 s kills the worker, so the accelerator sweep is
+            # split into per-call row chunks sized to ~20 s of f64 work.
+            # (The host path keeps one call — no watchdog off-chip.)
+            n_rows, d_feat = X1.shape
+            m_cols = X2.shape[0]
+            if device == "accel":
+                budget = int(1.2e10)  # f64 elementwise ops per device call
+                chunk = max(
+                    128, budget // max(1, m_cols * (d_feat + 4))
+                )
+                chunk = min(chunk, n_rows)
+            else:
+                chunk = n_rows
+
             def mm(W64):
                 # x64 scoped to this evaluation: the surrounding program
                 # (accelerator, f32) keeps its default.
                 with jax.enable_x64(True), place():
-                    return np.asarray(
-                        kernel_matmat_xla(
-                            kind,
-                            jnp.asarray(X1),
-                            jnp.asarray(X2),
-                            jnp.asarray(W64),
-                            jnp.asarray(ls),
-                            c,
-                            row_block=rb,
+                    V = jnp.asarray(W64)
+                    lsj = jnp.asarray(ls)
+                    outs = []
+                    for s in range(0, n_rows, chunk):
+                        xc = X1[s : s + chunk]
+                        pad = chunk - xc.shape[0]
+                        if pad:  # keep one compiled shape across chunks
+                            xc = np.concatenate(
+                                [xc, np.zeros((pad, d_feat), xc.dtype)]
+                            )
+                        outs.append(
+                            np.asarray(
+                                kernel_matmat_xla(
+                                    kind,
+                                    jnp.asarray(xc),
+                                    jnp.asarray(X2),
+                                    V,
+                                    lsj,
+                                    c,
+                                    row_block=rb,
+                                )
+                            )[: chunk - pad]
                         )
-                    )
+                    return np.concatenate(outs, axis=0)
 
             return mm
         if not isinstance(self._A, LinOp):

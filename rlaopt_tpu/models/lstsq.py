@@ -31,7 +31,9 @@ class LstSq(Model):
 
     def __init__(self, A, B: jax.Array, damp: float = 0.0):
         self._check_inputs(A, B, damp)
-        self._A = A
+        from .model import _wrap_sparse
+
+        self._A = _wrap_sparse(A)
         B = jnp.asarray(B)
         self._B = B[:, None] if B.ndim == 1 else B
         self._damp = damp
@@ -94,8 +96,8 @@ class LstSq(Model):
         solver_config,
         W_init: jax.Array,
         callback_fn: Optional[Callable] = None,
-        callback_args: list = [],
-        callback_kwargs: dict = {},
+        callback_args: Optional[list] = None,
+        callback_kwargs: Optional[dict] = None,
         callback_freq: int = 10,
         log_in_wandb: bool = False,
         wandb_init_kwargs: Optional[dict] = None,
@@ -118,7 +120,9 @@ class LstSq(Model):
         def termination_fn(internal_metrics):
             return self._check_termination_criteria(internal_metrics, atol, rtol)
 
-        log_fn = self._get_log_fn(callback_fn, callback_args, callback_kwargs)
+        log_fn = self._get_log_fn(
+            callback_fn, callback_args or [], callback_kwargs or {}
+        )
         wandb_kwargs = self._get_wandb_kwargs(
             log_in_wandb=log_in_wandb,
             wandb_init_kwargs=wandb_init_kwargs,

@@ -20,6 +20,22 @@ from ..utils.logger import Logger
 __all__ = ["Model"]
 
 
+def _wrap_sparse(A):
+    """Auto-wrap sparse tensors as matrix-free operators.
+
+    Gives models the reference's usage surface — sparse data matrices fed
+    directly into solve loops (``rlaopt/sparse/sparse_tensor.py:114-126``) —
+    by adapting them through :func:`rlaopt_tpu.sparse.linop.sparse_aslinop`.
+    """
+    from ..sparse.sparse_tensor import _SparseTensor
+
+    if isinstance(A, _SparseTensor):
+        from ..linops.base import aslinop
+
+        return aslinop(A)
+    return A
+
+
 class Model(ABC):
     def __init__(self, *args, **kwargs):
         pass
@@ -76,16 +92,16 @@ class Model(ABC):
                 "callback_freq": callback_freq,
             },
         }
-        if wandb_init_kwargs is not None:
-            for key, value in wandb_init_kwargs.items():
-                if key == "config":
-                    warn(
-                        "Found 'config' key in wandb_init_kwargs. "
-                        "Merging with internally specified 'config' key."
-                    )
-                    wandb_kwargs["config"].update(value)
-                else:
-                    wandb_kwargs[key] = value
+        for key, value in (wandb_init_kwargs or {}).items():
+            if key == "config":
+                warn(
+                    "wandb_init_kwargs carries its own 'config' dict; its "
+                    "entries are folded into the auto-populated solver "
+                    "config (user values win on key collisions)."
+                )
+                wandb_kwargs["config"].update(value)
+            else:
+                wandb_kwargs[key] = value
         return wandb_kwargs
 
     def _train(

@@ -236,13 +236,17 @@ def _body_exact(
 
 def _body_split(
     xh_ref, xl_ref, yh_ref, yl_ref, hx_ref, hy_ref, v_ref, o_ref, acc_ref,
-    *, kind, nj,
+    *, kind, nj, acc_mode,
 ):
     """bf16x3: 3 full-rate MXU passes ≈ f32-accurate cross terms.
 
     The hi/lo bf16 operand pairs are prepared outside the kernel (once per
     operand instead of once per tile visit); the lo·lo term (≤2⁻¹⁸ relative)
     is dropped. Mosaic rejects Precision.HIGH, hence the manual splitting.
+    The RHS contraction uses the same small-k VPU lane-reduce as the exact
+    tier (acc_mode="vpu"): at k=8 the MXU alternative pads to the 128-lane
+    width, and the 3-pass "split" contraction costs 3 such padded passes —
+    a pure win to run it on the VPU overlapped with the MXU cross terms.
     """
     j = pl.program_id(1)
 
@@ -257,7 +261,8 @@ def _body_split(
         + lax.dot_general(xl_ref[:], yh_ref[:], _DN, preferred_element_type=f32)
     )
     _acc_update(
-        acc_ref, _finish_dot(kind, cross, hx_ref[:], hy_ref[:]), v_ref, "split"
+        acc_ref, _finish_dot(kind, cross, hx_ref[:], hy_ref[:]), v_ref,
+        acc_mode,
     )
 
     @pl.when(j == nj - 1)
@@ -265,7 +270,9 @@ def _body_split(
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
-def _body_bf16(x_ref, y_ref, hx_ref, hy_ref, v_ref, o_ref, acc_ref, *, kind, nj):
+def _body_bf16(
+    x_ref, y_ref, hx_ref, hy_ref, v_ref, o_ref, acc_ref, *, kind, nj, acc_mode
+):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -276,7 +283,8 @@ def _body_bf16(x_ref, y_ref, hx_ref, hy_ref, v_ref, o_ref, acc_ref, *, kind, nj)
         x_ref[:], y_ref[:], _DN, preferred_element_type=jnp.float32
     )
     _acc_update(
-        acc_ref, _finish_dot(kind, cross, hx_ref[:], hy_ref[:]), v_ref, "fast"
+        acc_ref, _finish_dot(kind, cross, hx_ref[:], hy_ref[:]), v_ref,
+        acc_mode,
     )
 
     @pl.when(j == nj - 1)
@@ -533,8 +541,16 @@ def _norms_and_operands(kind, Xs, Ys):
 
 
 def _split_bf16(A):
-    """A = hi + lo with both parts bf16; exact to ~2⁻¹⁸ relative."""
-    hi = A.astype(jnp.bfloat16)
+    """A = hi + lo with both parts bf16; exact to ~2⁻¹⁸ relative.
+
+    The barrier is load-bearing: this split runs in XLA (outside the Pallas
+    kernel), and the runtime sets ``--xla_allow_excess_precision``, under
+    which XLA legally simplifies ``A - f32(bf16(A))`` to zero by keeping the
+    bf16 round-trip at full precision — silently collapsing the tier to
+    plain bf16 (measured on-chip: 1.2e-2 kernel-value error, identical to
+    the 1-pass tier, before the barrier was added).
+    """
+    hi = lax.optimization_barrier(A.astype(jnp.bfloat16))
     lo = (A - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return hi, lo
 
@@ -644,10 +660,16 @@ def kernel_matmat_pallas(
             xh, xl = _split_bf16(Xc)
             yh, yl = _split_bf16(YcT)
             inputs = [xh, xl, yh, yl]
-            body = functools.partial(_body_split, kind=kind, nj=nj)
+            body = functools.partial(
+                _body_split, kind=kind, nj=nj,
+                acc_mode="vpu" if k_p8 <= 16 else "split",
+            )
         elif cd == "bfloat16":
             inputs = [Xc.astype(jnp.bfloat16), YcT.astype(jnp.bfloat16)]
-            body = functools.partial(_body_bf16, kind=kind, nj=nj)
+            body = functools.partial(
+                _body_bf16, kind=kind, nj=nj,
+                acc_mode="vpu" if k_p8 <= 16 else "fast",
+            )
         else:
             inputs = [Xc, YcT]
             if compensated:

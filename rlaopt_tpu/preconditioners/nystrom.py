@@ -45,7 +45,9 @@ class NystromFactors(NamedTuple):
 
 
 # -- functional core ---------------------------------------------------------
-def nystrom_update(A_mm, n: int, rank: int, sketch: str, key, dtype) -> NystromFactors:
+def nystrom_update(
+    A_mm, n: int, rank: int, sketch: str, key, dtype, _route=None
+) -> NystromFactors:
     """Build the Nyström approximation of an SPD operator.
 
     Args:
@@ -55,6 +57,9 @@ def nystrom_update(A_mm, n: int, rank: int, sketch: str, key, dtype) -> NystromF
         sketch: sketch family name for the range finder.
         key: PRNG key.
         dtype: element dtype.
+        _route: test hook — force "eigh" or "svd" instead of the n > 64·rank
+            size heuristic, so both factorization branches can be compared on
+            the identical problem.
     """
     Omega = right_embedding(sketch, key, rank, n, dtype)  # (n, r)
     Y = A_mm(Omega)  # (n, r)
@@ -63,7 +68,8 @@ def nystrom_update(A_mm, n: int, rank: int, sketch: str, key, dtype) -> NystromF
     Core = Core + shift * jnp.eye(rank, dtype=dtype)
     L = jnp.linalg.cholesky(Core)
     B = solve_tri_lower(L, Y.T)  # (r, n)
-    if n > 64 * rank:
+    use_eigh = n > 64 * rank if _route is None else _route == "eigh"
+    if use_eigh:
         # Tall case: an (n, r) SVD materializes several O(n·r) workspaces —
         # at n=1e6, r=500 that crashed the TPU worker (HBM OOM). The r×r
         # Gram-eigh route needs only one extra (n, r) product:

@@ -116,36 +116,31 @@ class SAP(Solver):
         return self.state.W
 
     # -- per-step pieces (traced) -------------------------------------------
-    # The oracle pair used inside the trace; _build_chunk_fn may rebind these
-    # to a payload-rebound operator for multi-host runs (see below).
-    def _blk_mm(self, blk, X):
-        return self._blk_oracle(blk) @ X
+    # The oracle pair used inside the trace is threaded explicitly through
+    # `_step_fn` as (blk_mm, row_mm) callables; the multi-host chunk builds
+    # them from a payload-rebound operator (see _build_chunk_fn) so no
+    # instance attribute is ever mutated during tracing.
 
-    def _row_mm(self, blk, X):
-        return self._row_oracle(blk) @ X
+    def _default_blk_mm(self, blk, X):
+        return self.system.A_blk_oracle(blk) @ X
 
-    @property
-    def _row_oracle(self):
-        return getattr(self, "_row_oracle_override", None) or self.system.A_row_oracle
+    def _default_row_mm(self, blk, X):
+        return self.system.A_row_oracle(blk) @ X
 
-    @property
-    def _blk_oracle(self):
-        return getattr(self, "_blk_oracle_override", None) or self.system.A_blk_oracle
-
-    def _get_precond(self, blk, key, dtype):
+    def _get_precond(self, blk, key, dtype, blk_mm):
         """Build the block preconditioner state; returns (apply_inv, exact)."""
         reg = self.system.reg
         cfg = self.precond_config
         if isinstance(cfg, IdentityConfig):
             return (lambda x: x), False
         if isinstance(cfg, NewtonConfig):
-            A_blk = self._blk_mm(blk, jnp.eye(self.blk_sz, dtype=dtype))
+            A_blk = blk_mm(blk, jnp.eye(self.blk_sz, dtype=dtype))
             L = newton_update(A_blk, cfg.rho)
             exact = cfg.rho == reg
             return (lambda x: newton_apply_inv(L, x)), exact
         # Nyström
         f = nystrom_update(
-            lambda X: self._blk_mm(blk, X), self.blk_sz, cfg.rank, cfg.sketch,
+            lambda X: blk_mm(blk, X), self.blk_sz, cfg.rank, cfg.sketch,
             key, dtype,
         )
         if cfg.damping_mode == _DampingMode.ADAPTIVE:
@@ -156,13 +151,13 @@ class SAP(Solver):
         L = nystrom_inv_chol(f.U, f.S, rho) if low_precision else None
         return (lambda x: nystrom_apply_inv(f, rho, x, L)), False
 
-    def _get_stepsize(self, blk, apply_inv, exact, key, dtype):
+    def _get_stepsize(self, blk, apply_inv, exact, key, dtype, blk_mm):
         if exact:
             return jnp.asarray(1.0, dtype)
         reg = jnp.asarray(self.system.reg, dtype)
 
         def mv(v):
-            return apply_inv(self._blk_mm(blk, v) + reg * v)
+            return apply_inv(blk_mm(blk, v) + reg * v)
 
         S_op = LinOp((self.blk_sz, self.blk_sz), matvec=mv, dtype=dtype)
         max_eig, _ = randomized_powering(
@@ -170,7 +165,7 @@ class SAP(Solver):
         )
         return 1.0 / max_eig
 
-    def _step_fn(self, state: SAPState, mask) -> SAPState:
+    def _step_fn(self, state: SAPState, mask, blk_mm, row_mm) -> SAPState:
         dtype = state.W.dtype
         n = self.system.A.shape[0]
         reg = jnp.asarray(self.system.reg, dtype)
@@ -181,11 +176,13 @@ class SAP(Solver):
             blk = self._block_schedule[state.t % self._block_schedule.shape[0]]
         else:
             blk = jax.random.choice(k_blk, n, (self.blk_sz,), replace=False)
-        apply_inv, exact = self._get_precond(blk, k_prec, dtype)
-        stepsize = self._get_stepsize(blk, apply_inv, exact, k_pow, dtype)
+        apply_inv, exact = self._get_precond(blk, k_prec, dtype, blk_mm)
+        stepsize = self._get_stepsize(
+            blk, apply_inv, exact, k_pow, dtype, blk_mm
+        )
 
         eval_pt = state.Y if self.accel else state.W
-        grad = self._row_mm(blk, eval_pt) + reg * eval_pt[blk] - B[blk]
+        grad = row_mm(blk, eval_pt) + reg * eval_pt[blk] - B[blk]
         direction = apply_inv(grad)
 
         # Robustness: a degenerate block (failed factorization, divergent
@@ -228,17 +225,17 @@ class SAP(Solver):
             @partial(jax.jit, static_argnames=("n_steps",))
             def chunk(A_data, state, mask, n_steps):
                 A_loc = A._with_data(A_data)
-                self._row_oracle_override = A_loc.row_oracle
-                self._blk_oracle_override = A_loc.blk_oracle
-                try:
 
-                    def body(s, _):
-                        return self._step_fn(s, mask), None
+                def blk_mm(blk, X):
+                    return A_loc.blk_oracle(blk) @ X
 
-                    state, _ = jax.lax.scan(body, state, None, length=n_steps)
-                finally:
-                    self._row_oracle_override = None
-                    self._blk_oracle_override = None
+                def row_mm(blk, X):
+                    return A_loc.row_oracle(blk) @ X
+
+                def body(s, _):
+                    return self._step_fn(s, mask, blk_mm, row_mm), None
+
+                state, _ = jax.lax.scan(body, state, None, length=n_steps)
                 return state
 
             return chunk
@@ -246,7 +243,12 @@ class SAP(Solver):
         @partial(jax.jit, static_argnames=("n_steps",))
         def chunk(state, mask, n_steps):
             def body(s, _):
-                return self._step_fn(s, mask), None
+                return (
+                    self._step_fn(
+                        s, mask, self._default_blk_mm, self._default_row_mm
+                    ),
+                    None,
+                )
 
             state, _ = jax.lax.scan(body, state, None, length=n_steps)
             return state

@@ -9,9 +9,11 @@ from .ops import (  # noqa: F401
     gather_rows,
 )
 from .native import native_available  # noqa: F401
+from .linop import sparse_aslinop  # noqa: F401
 
 __all__ = [
     "SparseCSRTensor",
+    "sparse_aslinop",
     "csr_matvec",
     "csr_matmat",
     "csc_matvec",

@@ -14,14 +14,18 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 # Force CPU: the surrounding session may point JAX_PLATFORMS at a live TPU
-# (axon); tests must run on the virtual 8-device CPU platform.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# (axon); tests must run on the virtual 8-device CPU platform. Setting
+# RLAOPT_TEST_PLATFORM overrides the pin so device-agnostic suites (sparse,
+# ops) can be driven on a real accelerator: e.g.
+#   RLAOPT_TEST_PLATFORM=tpu,cpu pytest tests/sparse
+_platform = os.environ.get("RLAOPT_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
 
 import jax  # noqa: E402
 
 # The env var alone is not enough: the axon TPU plugin re-registers itself at
 # import time, so force the platform through the config as well.
-jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_platforms", _platform)
 jax.config.update("jax_enable_x64", True)
 # f32 matmuls otherwise run at bf16-ish default precision, breaking the
 # per-precision tolerance scheme ported from the reference tests.

@@ -143,6 +143,32 @@ class TestNystrom:
         assert jnp.all(P.S >= 0)
         assert jnp.all(jnp.diff(P.S) <= 1e2 * tol)
 
+    def test_eigh_and_svd_routes_agree(self, dtype, tol, key):
+        # The tall-case Gram-eigh route (taken when n > 64·rank to avoid the
+        # (n, r) SVD workspace blow-up) squares the conditioning relative to
+        # the SVD path; this bounds the drift between the two factorizations
+        # on the identical problem, around the switchover scale.
+        from rlaopt_tpu.preconditioners.nystrom import nystrom_update
+
+        n, rank = 96, 8  # n in the vicinity of 64·rank relative to budget
+        A = spd_matrix(key, n, dtype, cond=1e6)
+        f_svd = nystrom_update(
+            lambda X: A @ X, n, rank, "gauss", key, dtype, _route="svd"
+        )
+        f_eigh = nystrom_update(
+            lambda X: A @ X, n, rank, "gauss", key, dtype, _route="eigh"
+        )
+        # Compare the rotation-invariant reconstruction, not U itself.
+        rec_svd = (f_svd.U * f_svd.S) @ f_svd.U.T
+        rec_eigh = (f_eigh.U * f_eigh.S) @ f_eigh.U.T
+        scale = jnp.linalg.norm(rec_svd)
+        assert jnp.linalg.norm(rec_svd - rec_eigh) / scale < 1e3 * tol
+        # Both routes produce orthonormal U and matching spectra.
+        assert jnp.allclose(
+            f_eigh.U.T @ f_eigh.U, jnp.eye(rank, dtype=dtype), atol=2e3 * tol
+        )
+        assert jnp.allclose(f_svd.S, f_eigh.S, rtol=1e3 * tol, atol=1e2 * tol)
+
     def test_reconstruction_quality(self, dtype, key):
         # Fast-decay SPD matrix: rank-r Nyström should capture it well
         n, rank = 60, 30

@@ -236,7 +236,7 @@ class TestConfigSerialization:
         assert kw["project"] == "p"
         assert kw["config"]["solver_name"] == "pcg"
         assert kw["config"]["extra"] == 1  # merged
-        assert any("Merging" in str(w.message) for w in rec)
+        assert any("config" in str(w.message) for w in rec)
         assert (
             sys_._get_wandb_kwargs(False, None, "pcg", cfg, 10) is None
         )
