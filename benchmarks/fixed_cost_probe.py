@@ -51,7 +51,7 @@ TILE_VARIANTS = ((None, None), (256, 512), (512, 512), (256, 1024))
 TARGET_CALL_S = 0.35
 
 
-def _chain_fn(tier, d, tile_m, tile_n, chain):
+def _chain_fn(tier, d, tile_m, tile_n, chain, pipeline):
     from rlaopt_tpu.ops.kernel_pallas import kernel_matmat_pallas
 
     key = jax.random.PRNGKey(0)
@@ -65,6 +65,7 @@ def _chain_fn(tier, d, tile_m, tile_n, chain):
             out = kernel_matmat_pallas(
                 "rbf", X1, X2, v, float(d) ** 0.5, 1.0,
                 tile_m=tile_m, tile_n=tile_n, compute_dtype=tier,
+                pipeline=pipeline,
             )
             return out / jnp.linalg.norm(out)
 
@@ -74,14 +75,14 @@ def _chain_fn(tier, d, tile_m, tile_n, chain):
     return f
 
 
-def _per_sweep_ms(tier, d, tile_m=None, tile_n=None, trials=3):
-    f = _chain_fn(tier, d, tile_m, tile_n, 4)
+def _per_sweep_ms(tier, d, tile_m=None, tile_n=None, trials=3, pipeline=False):
+    f = _chain_fn(tier, d, tile_m, tile_n, 4, pipeline)
     float(f())
     t0 = time.perf_counter()
     float(f())
     pilot = (time.perf_counter() - t0) / 4
     chain = max(4, int(math.ceil(TARGET_CALL_S / pilot)))
-    f = _chain_fn(tier, d, tile_m, tile_n, chain)
+    f = _chain_fn(tier, d, tile_m, tile_n, chain, pipeline)
     float(f())
     times = []
     for _ in range(trials):
@@ -95,15 +96,19 @@ def main():
     out = {"n": N, "m": M, "k": K}
 
     for tier_name, tier in (("exact", None), ("bf16x3", "bf16x3")):
-        sweep = {d: _per_sweep_ms(tier, d) for d in DS}
-        A = np.stack([np.ones(len(DS)), np.asarray(DS, float)], axis=1)
-        coef, *_ = np.linalg.lstsq(A, np.array([sweep[d] for d in DS]), rcond=None)
-        a_ms, b_ms_per_d = float(coef[0]), float(coef[1])
-        out[tier_name] = {
-            "per_sweep_ms": {str(d): round(v, 3) for d, v in sweep.items()},
-            "intercept_fixed_cost_ms": round(a_ms, 3),
-            "slope_ms_per_d": round(b_ms_per_d, 5),
-        }
+        for pipe in (False, True):
+            label = tier_name + ("_pipelined" if pipe else "")
+            sweep = {d: _per_sweep_ms(tier, d, pipeline=pipe) for d in DS}
+            A = np.stack([np.ones(len(DS)), np.asarray(DS, float)], axis=1)
+            coef, *_ = np.linalg.lstsq(
+                A, np.array([sweep[d] for d in DS]), rcond=None
+            )
+            a_ms, b_ms_per_d = float(coef[0]), float(coef[1])
+            out[label] = {
+                "per_sweep_ms": {str(d): round(v, 3) for d, v in sweep.items()},
+                "intercept_fixed_cost_ms": round(a_ms, 3),
+                "slope_ms_per_d": round(b_ms_per_d, 5),
+            }
 
     tiles = {}
     for tm, tn in TILE_VARIANTS:

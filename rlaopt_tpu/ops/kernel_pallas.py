@@ -19,7 +19,13 @@ The performance-critical replacement for the reference's KeOps engine
   change distances, padded RHS rows are zero, padded output rows are sliced;
 * tile sizes default to the largest (TM, TN) fitting a VMEM budget — the
   TPU analog of the reference's device-query launch-config helper
-  (``rlaopt/csrc/cuda/cuda_specific.cu:13-94``, SURVEY N9).
+  (``rlaopt/csrc/cuda/cuda_specific.cu:13-94``, SURVEY N9);
+* the dot-path bodies are software-pipelined across column tiles
+  (``pipeline=True``): the VPU epilogue (norm fold + transcendental +
+  lane-reduce contraction) of tile j-1 issues alongside the MXU cross
+  passes of tile j, hiding the ~1.7 ms/16k²-sweep per-element epilogue
+  cost under MXU time (see ``_body_pipe`` and
+  benchmarks/fixed_cost_probe.py).
 
 ``compute_dtype`` selects the cross-term speed/accuracy tier. Accuracy
 measured against an f64 oracle (n=m=512, d=256, standardized data);
@@ -34,6 +40,10 @@ None (default)  1.1e-7 (exact)     6      15.0        97%
 "bf16x3"        3.2e-6             3      22.6        73%
 "bfloat16"      1.1e-4             1      34.3        37%
 =============  =================  =====  ==========  =================
+
+bf16x3's dropped lo·lo term is ~2⁻¹⁸ of |cross|, so its kernel-value error
+scales with the squared-distance magnitude: ~3e-6 on standardized data,
+~5e-5 when |cross| reaches ~16 (measured on-chip, d=64 unit-variance).
 """
 
 import functools
@@ -105,6 +115,7 @@ def select_tiles(
             )
             + 3 * tm_c * tn_c * 4  # live kernel-tile intermediates
             + 2 * tm_c * k_p * 4  # accumulator scratch (hi + lo)
+            + (tm_c * tn_c + k_p * tn_c) * 4  # pipeline kprev/vprev scratch
         )
         if work <= _VMEM_BUDGET_BYTES:
             return (tm_c, tn_c)
@@ -308,6 +319,88 @@ def _body_direct(
     @pl.when(j == nj - 1)
     def _():
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _pre_tile(kind, cross, hx, hy):
+    """Exp-argument / squared-distance tile from the MXU cross term."""
+    if kind == "rbf":
+        return cross - hx - hy
+    return jnp.maximum(hx + hy - cross, 0.0)
+
+
+def _finish_pre(kind, pre):
+    """Kernel values from the deferred pre-tile (see ``_body_pipe``)."""
+    if kind == "rbf":
+        return jnp.exp(pre)
+    return _finish_sqdist(kind, pre)
+
+
+def _body_pipe(*refs, kind, nj, acc_mode, cross_fn, n_in):
+    """Software-pipelined dot-path body: overlap MXU and VPU across tiles.
+
+    The plain bodies serialize per column tile: MXU cross passes, THEN the
+    VPU epilogue (norm fold + transcendental + lane-reduce contraction) on
+    the same tile — the two units idle alternately, and the epilogue's
+    fixed per-element cost (~2.6 ms per 16k² sweep, see
+    benchmarks/fixed_cost_probe.py) adds to the cross time. Here the body
+    instead applies the epilogue to the PREVIOUS tile's pre-value (held in
+    VMEM scratch) while the MXU streams the current tile's cross term —
+    the two instruction streams have no data dependence, so Mosaic's
+    scheduler can overlap them, hiding the cheaper of the two costs.
+
+    Scratch layout: ``acc`` (tm, k_p) running output, ``kprev`` (tm, tn)
+    the previous tile's exp-argument/d² value, ``vprev`` (k_p, tn) the
+    previous tile's RHS block. At ``j == 0`` kprev/vprev are zeroed:
+    ``finish(0) = 1`` contracted with a zero RHS contributes nothing, so
+    the warm-up step is branch-free. The last tile's epilogue runs in the
+    ``j == nj-1`` drain step (un-overlapped: 1/nj of the epilogue).
+    """
+    (*ops, hx_ref, hy_ref, v_ref, o_ref, acc_ref, kprev_ref, vprev_ref) = refs
+    assert len(ops) == n_in
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        kprev_ref[:] = jnp.zeros_like(kprev_ref)
+        vprev_ref[:] = jnp.zeros_like(vprev_ref)
+
+    cross = cross_fn(ops)
+    # Previous tile's epilogue: VPU work with no dependence on `cross`.
+    _acc_update(acc_ref, _finish_pre(kind, kprev_ref[:]), vprev_ref, acc_mode)
+    kprev_ref[:] = _pre_tile(kind, cross, hx_ref[:], hy_ref[:])
+    vprev_ref[:] = v_ref[:].astype(jnp.float32)
+
+    @pl.when(j == nj - 1)
+    def _():
+        _acc_update(
+            acc_ref, _finish_pre(kind, kprev_ref[:]), vprev_ref, acc_mode
+        )
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _cross_exact(ops):
+    return lax.dot_general(
+        ops[0][:], ops[1][:], _DN,
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
+
+
+def _cross_split(ops):
+    f32 = jnp.float32
+    xh, xl, yh, yl = ops
+    return (
+        lax.dot_general(xh[:], yh[:], _DN, preferred_element_type=f32)
+        + lax.dot_general(xh[:], yl[:], _DN, preferred_element_type=f32)
+        + lax.dot_general(xl[:], yh[:], _DN, preferred_element_type=f32)
+    )
+
+
+def _cross_bf16(ops):
+    return lax.dot_general(
+        ops[0][:], ops[1][:], _DN, preferred_element_type=jnp.float32
+    )
 
 
 def _twosum_accumulate(acc_ref, lo_ref, p):
@@ -558,7 +651,8 @@ def _split_bf16(A):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "kind", "tile_m", "tile_n", "compute_dtype", "interpret", "compensated"
+        "kind", "tile_m", "tile_n", "compute_dtype", "interpret",
+        "compensated", "pipeline",
     ),
 )
 def kernel_matmat_pallas(
@@ -573,6 +667,7 @@ def kernel_matmat_pallas(
     compute_dtype: Optional[str] = None,
     interpret: bool = False,
     compensated: bool = False,
+    pipeline: bool = True,
 ) -> jax.Array:
     """Fused ``c·k(X1, X2) @ V`` on TPU (see module docstring).
 
@@ -630,6 +725,7 @@ def kernel_matmat_pallas(
 
     norm_inputs = []
     norm_specs = []
+    piped = False
     if direct:
         Xp = _pad_axis(_pad_axis(Xs, tile_m, 0), 128, 1)
         Yp = _pad_axis(_pad_axis(Ys, tile_n, 0), 128, 1)
@@ -660,25 +756,46 @@ def kernel_matmat_pallas(
             xh, xl = _split_bf16(Xc)
             yh, yl = _split_bf16(YcT)
             inputs = [xh, xl, yh, yl]
-            body = functools.partial(
-                _body_split, kind=kind, nj=nj,
-                acc_mode="vpu" if k_p8 <= 16 else "split",
-            )
+            acc_mode = "vpu" if k_p8 <= 16 else "split"
+            if pipeline:
+                body = functools.partial(
+                    _body_pipe, kind=kind, nj=nj, acc_mode=acc_mode,
+                    cross_fn=_cross_split, n_in=4,
+                )
+                piped = True
+            else:
+                body = functools.partial(
+                    _body_split, kind=kind, nj=nj, acc_mode=acc_mode
+                )
         elif cd == "bfloat16":
             inputs = [Xc.astype(jnp.bfloat16), YcT.astype(jnp.bfloat16)]
-            body = functools.partial(
-                _body_bf16, kind=kind, nj=nj,
-                acc_mode="vpu" if k_p8 <= 16 else "fast",
-            )
+            acc_mode = "vpu" if k_p8 <= 16 else "fast"
+            if pipeline:
+                body = functools.partial(
+                    _body_pipe, kind=kind, nj=nj, acc_mode=acc_mode,
+                    cross_fn=_cross_bf16, n_in=2,
+                )
+                piped = True
+            else:
+                body = functools.partial(
+                    _body_bf16, kind=kind, nj=nj, acc_mode=acc_mode
+                )
         else:
             inputs = [Xc, YcT]
             if compensated:
                 body = functools.partial(_body_exact_comp, kind=kind, nj=nj)
             else:
-                body = functools.partial(
-                    _body_exact, kind=kind, nj=nj,
-                    acc_mode="vpu" if k_p8 <= 16 else "highest",
-                )
+                acc_mode = "vpu" if k_p8 <= 16 else "highest"
+                if pipeline:
+                    body = functools.partial(
+                        _body_pipe, kind=kind, nj=nj, acc_mode=acc_mode,
+                        cross_fn=_cross_exact, n_in=2,
+                    )
+                    piped = True
+                else:
+                    body = functools.partial(
+                        _body_exact, kind=kind, nj=nj, acc_mode=acc_mode
+                    )
 
     n_p = inputs[0].shape[0]
     d_p = inputs[0].shape[1]
@@ -717,6 +834,11 @@ def kernel_matmat_pallas(
         out_specs = o_spec
         out_shape = jax.ShapeDtypeStruct((n_p, k_p), V.dtype)
         scratch = [pltpu.VMEM((tile_m, k_p), jnp.float32)]
+        if piped:
+            scratch += [
+                pltpu.VMEM((tile_m, tile_n), jnp.float32),  # kprev
+                pltpu.VMEM((k_p, tile_n), jnp.float32),  # vprev
+            ]
 
     out = pl.pallas_call(
         body,

@@ -166,6 +166,24 @@ def test_pallas_bf16_fast_path(data):
     assert np.allclose(got, K @ np.asarray(V), atol=5e-2)
 
 
+@pytest.mark.parametrize("kind", ["rbf", "matern32"])
+@pytest.mark.parametrize("cd", [None, "bf16x3", "bfloat16"])
+def test_pallas_pipeline_matches_plain(key, kind, cd):
+    """The software-pipelined bodies (epilogue of tile j-1 overlapped with
+    the MXU cross of tile j) must be arithmetically identical to the plain
+    bodies: same per-tile math, same accumulation order — only the schedule
+    differs. Multi-row AND multi-column grids exercise the scratch carry,
+    the j==0 warm-up, and the row-transition reset."""
+    n, m, d = 80, 300, 40
+    X1 = jax.random.normal(key, (n, d), dtype=jnp.float32)
+    X2 = jax.random.normal(jax.random.fold_in(key, 1), (m, d), jnp.float32)
+    V = jax.random.normal(jax.random.fold_in(key, 2), (m, 3), jnp.float32)
+    kw = dict(tile_m=16, tile_n=128, compute_dtype=cd, interpret=True)
+    piped = kernel_matmat_pallas(kind, X1, X2, V, 2.0, 1.1, pipeline=True, **kw)
+    plain = kernel_matmat_pallas(kind, X1, X2, V, 2.0, 1.1, pipeline=False, **kw)
+    assert np.allclose(piped, plain, rtol=1e-6, atol=1e-6)
+
+
 def test_pallas_bf16x3_tier(data):
     X1, X2, V = data
     K = compute_kernel_matrix("rbf", X1, X2, 1.0)
