@@ -62,6 +62,7 @@ time-sharing noise.
 
 import json
 import math
+import sys
 import time
 
 import jax
@@ -155,26 +156,32 @@ def make_kernel(tier, d, kind="rbf"):
 def make_sparse():
     """CSR matvec on the accelerator: bandwidth-bound tier (GB/s).
 
-    Shape mirrors a 1M-row solver operand: 2^20 rows, ~16 nnz/row. Useful
-    bytes per sweep = values + column indices + gathered x + y writeback.
+    Shape mirrors a 1M-row solver operand: 2^20 rows, 16 nnz/row, applied
+    through the hybrid-ELL path — the format `sparse_aslinop`/`@` actually
+    use on accelerators (the raw segment-sum formulation lowers to a
+    serialized scatter on TPU and trips the execution watchdog at this
+    nnz; it remains the in-trace fallback only). Useful bytes per sweep =
+    values + column indices + gathered x + y writeback.
     """
-    from rlaopt_tpu.sparse.ops import csr_matvec
+    import numpy as np
+
+    from rlaopt_tpu.sparse.ell import csr_to_ell, ell_matvec
 
     n_rows = 1 << 20
-    nnz = 16 * n_rows
-    key = jax.random.PRNGKey(3)
-    kv, ki, kx = jax.random.split(key, 3)
-    values = jax.random.normal(kv, (nnz,), jnp.float32)
-    indices = jax.random.randint(ki, (nnz,), 0, n_rows, jnp.int32)
-    # Uniform 16-long rows: indptr = 16*arange — representative gather load.
-    indptr = (16 * jnp.arange(n_rows + 1, dtype=jnp.int32))
-    x0 = jax.random.normal(kx, (n_rows,), jnp.float32)
+    w = 16
+    nnz = w * n_rows
+    rng = np.random.default_rng(3)
+    values = rng.standard_normal(nnz).astype(np.float32)
+    indices = rng.integers(0, n_rows, nnz).astype(np.int32)
+    indptr = w * np.arange(n_rows + 1, dtype=np.int64)
+    ell = csr_to_ell(values, indptr, indices)
+    x0 = jnp.asarray(rng.standard_normal(n_rows).astype(np.float32))
 
     def make(chain):
         @jax.jit
         def f():
             def body(_, x):
-                y = csr_matvec(values, indptr, indices, x, n_rows)
+                y = ell_matvec(ell, x)
                 return y / jnp.linalg.norm(y)
 
             x = jax.lax.fori_loop(0, chain, body, x0)
@@ -208,9 +215,10 @@ def main():
     # Interleave peak and tiers across repetitions so the time-shared chip's
     # throttle level affects numerator and denominator alike.
     reps = {name: [] for name, r in runs.items() if r is not None}
-    for _ in range(3):
+    for rep in range(3):
         for name in reps:
             f, flops, chain = runs[name]
+            print(f"[bench] rep {rep} {name} chain={chain}", file=sys.stderr)
             dt = _bench_scalar(f, chain, trials=2)
             reps[name].append(flops / dt / 1e12)
 

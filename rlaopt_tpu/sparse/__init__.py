@@ -9,11 +9,16 @@ from .ops import (  # noqa: F401
     gather_rows,
 )
 from .native import native_available  # noqa: F401
-from .linop import sparse_aslinop  # noqa: F401
+from .ell import csr_to_ell, ell_matmat, ell_matvec  # noqa: F401
+from .linop import sparse_aslinop, sparse_shard_rows  # noqa: F401
 
 __all__ = [
     "SparseCSRTensor",
     "sparse_aslinop",
+    "sparse_shard_rows",
+    "csr_to_ell",
+    "ell_matvec",
+    "ell_matmat",
     "csr_matvec",
     "csr_matmat",
     "csc_matvec",

@@ -3,23 +3,30 @@
 Reference users hand ``SparseCSRTensor`` data matrices straight to solve
 loops through ``@``/``__rmatmul__`` (``rlaopt/sparse/sparse_tensor.py:114-126``).
 Here the same surface is a :class:`~rlaopt_tpu.linops.TwoSidedLinOp` whose
-payload is the compressed index triplet, so a sparse matrix drops into every
+payload is either the compressed triplet (CPU: native C++ kernels) or a
+two-sided hybrid ELL pytree (accelerators: gather + VPU reduce, no scatter
+— see :mod:`rlaopt_tpu.sparse.ell`), so a sparse matrix drops into every
 consumer of the operator API (``LstSq``/``LSQR``/``SkPre``, sketches,
 sharded wrappers) and traces into jitted solver loops like any other linop.
 
-The adjoint reuses the zero-copy transpose identity: the CSR triplet of A
-read as CSC *is* Aᵀ (and vice versa), so both directions run on the same
-three buffers with no conversion.
+Both apply directions are precomputed at construction: the forward ELL pads
+A's rows, the adjoint ELL pads Aᵀ's rows (built once host-side via scipy),
+so ``A @ x`` and ``A.T @ y`` are BOTH scatter-free on the accelerator. The
+triplet path instead reuses the zero-copy transpose identity (CSR read as
+CSC is Aᵀ) on the same three buffers.
 """
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import ops
+from .ell import csr_to_ell, ell_matmat, ell_matvec, ELL_WIDTH_ALIGN
 from .sparse_tensor import _Layout, _SparseTensor
 from ..linops.base import TwoSidedLinOp
 
 
-__all__ = ["sparse_aslinop"]
+__all__ = ["sparse_aslinop", "sparse_shard_rows"]
 
 
 def _csr_fns(m: int, n: int):
@@ -54,19 +61,48 @@ def _csc_fns(m: int, n: int):
     return mv, rmv, mm, rmm
 
 
-def sparse_aslinop(sp: _SparseTensor) -> TwoSidedLinOp:
+def _twosided_ell(sp: _SparseTensor, width=None):
+    """{"fwd": ELL(A), "adj": ELL(Aᵀ)} from a sparse tensor (host-side)."""
+    A = sp.to_scipy().tocsr()
+    At = A.T.tocsr()
+    return {
+        "fwd": csr_to_ell(A.data, A.indptr, A.indices, width=width),
+        "adj": csr_to_ell(At.data, At.indptr, At.indices, width=width),
+    }
+
+
+def sparse_aslinop(sp: _SparseTensor, impl: str = "auto") -> TwoSidedLinOp:
     """Wrap a sparse CSR/CSC tensor as a two-sided matrix-free operator.
 
-    The operator's pytree payload holds the (values, indices, indptr)
-    triplet; applications dispatch to :mod:`rlaopt_tpu.sparse.ops` (XLA
-    segment-sum / scatter-add on accelerators, native C++ on the CPU
-    backend) and are jit/scan-safe.
+    Args:
+        sp: the sparse tensor.
+        impl: ``"ell"`` (hybrid ELL payload, scatter-free applies — the
+            accelerator path), ``"triplet"`` (raw CSR/CSC buffers through
+            :mod:`rlaopt_tpu.sparse.ops` — native C++ on the CPU backend),
+            or ``"auto"``: triplet on the CPU backend, ELL elsewhere.
     """
     if not isinstance(sp, _SparseTensor):
         raise TypeError(
             f"expected a sparse tensor, got {type(sp).__name__}"
         )
+    if impl not in ("auto", "ell", "triplet"):
+        raise ValueError(f"impl must be auto|ell|triplet, got {impl!r}")
+    if impl == "auto":
+        impl = "triplet" if jax.default_backend() == "cpu" else "ell"
     m, n = sp.shape
+
+    if impl == "ell":
+        data = _twosided_ell(sp)
+        return TwoSidedLinOp(
+            (m, n),
+            lambda d, x: ell_matvec(d["fwd"], x),
+            lambda d, x: ell_matvec(d["adj"], x),
+            matmat=lambda d, X: ell_matmat(d["fwd"], X),
+            rmatmat=lambda d, X: ell_matmat(d["adj"], X),
+            dtype=sp.dtype,
+            data=data,
+        )
+
     fns = _csr_fns if sp.layout == _Layout.CSR else _csc_fns
     mv, rmv, mm, rmm = fns(m, n)
     data = {
@@ -77,3 +113,87 @@ def sparse_aslinop(sp: _SparseTensor) -> TwoSidedLinOp:
     return TwoSidedLinOp(
         (m, n), mv, rmv, matmat=mm, rmatmat=rmm, dtype=sp.dtype, data=data
     )
+
+
+def sparse_shard_rows(sp: _SparseTensor, mesh, axis: str = "i"):
+    """Row-partition a sparse CSR tensor over a mesh as a ShardedLinOp.
+
+    The distributed analog of handing a ``SparseCSRTensor`` to a solve loop:
+    rows are split into contiguous chunks (the reference's ``torch.chunk``
+    semantics, ``rlaopt/kernels/base.py:297-302``), each chunk becomes a
+    two-sided ELL payload (forward pads the chunk's rows, adjoint pads the
+    chunk-transpose's rows — scatter-free in both directions, see
+    :mod:`rlaopt_tpu.sparse.ell`), and the chunks compose through
+    :meth:`ShardedLinOp.from_local_ops` — forward matvec gathers local
+    products, adjoint matvec psums partials across the mesh.
+
+    ELL padding composes with ``from_local_ops``'s generic zero-padding by
+    construction: a zero-padded ELL row/slot is (index 0, value 0), which
+    gathers ``x[0]`` and multiplies by zero — ragged chunks and unequal
+    widths are both harmless. Each chunk's ELL width covers its longest
+    row (no COO spill), keeping every chunk's pytree structure identical
+    as ``from_local_ops`` requires.
+    """
+    from ..linops.sharded import ShardedLinOp
+    from ..parallel.distributed import axis_size
+
+    if not isinstance(sp, _SparseTensor):
+        raise TypeError(
+            f"expected a sparse tensor, got {type(sp).__name__}"
+        )
+    if sp.layout != _Layout.CSR:
+        raise ValueError(
+            "sparse_shard_rows needs CSR layout (row slicing); "
+            "transpose a CSC tensor first (.T is zero-copy)"
+        )
+    m, n = sp.shape
+    ndev = axis_size(mesh, axis)
+    chunk = -(-m // ndev)
+    if chunk == 0:
+        raise ValueError(f"cannot split {m} rows over {ndev} devices")
+    bounds = [(i * chunk, min((i + 1) * chunk, m)) for i in range(ndev)]
+    if any(s >= e for s, e in bounds):
+        raise ValueError(
+            f"{m} rows over {ndev} devices leaves empty shards; "
+            "use a smaller mesh axis"
+        )
+
+    A = sp.to_scipy().tocsr()
+    local_ops = []
+    for s, e in bounds:
+        blk = A[s:e]
+        blk_t = blk.T.tocsr()
+        counts = np.diff(blk.indptr)
+        counts_t = np.diff(blk_t.indptr)
+        w = -(-max(int(counts.max(initial=0)), 1) // ELL_WIDTH_ALIGN)
+        w_t = -(-max(int(counts_t.max(initial=0)), 1) // ELL_WIDTH_ALIGN)
+        data = {
+            "fwd": csr_to_ell(
+                blk.data, blk.indptr, blk.indices, width=w * ELL_WIDTH_ALIGN
+            ),
+            "adj": csr_to_ell(
+                blk_t.data, blk_t.indptr, blk_t.indices,
+                width=w_t * ELL_WIDTH_ALIGN,
+            ),
+        }
+
+        # ShardedLinOp drives 1-D and 2-D operands through the same local
+        # function, so dispatch on rank here.
+        def mv_any(d, x):
+            return (
+                ell_matvec(d["fwd"], x) if x.ndim == 1
+                else ell_matmat(d["fwd"], x)
+            )
+
+        def rmv_any(d, x):
+            return (
+                ell_matvec(d["adj"], x) if x.ndim == 1
+                else ell_matmat(d["adj"], x)
+            )
+
+        local_ops.append(
+            TwoSidedLinOp(
+                (e - s, n), mv_any, rmv_any, dtype=sp.dtype, data=data
+            )
+        )
+    return ShardedLinOp.from_local_ops(local_ops, mesh, mode="row", axis=axis)

@@ -8,6 +8,7 @@ the index buffers. Re-designed storage: plain JAX arrays
 sharding are array metadata.
 """
 
+import os
 from enum import Enum, auto
 
 import jax
@@ -15,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import ops
+from .ell import csr_to_ell, ell_matmat, ell_matvec
 from ..utils.checkers import _is_array
 
 
@@ -24,6 +26,16 @@ __all__ = ["SparseCSRTensor", "_SparseTensor", "_Layout"]
 class _Layout(Enum):
     CSR = auto()
     CSC = auto()
+
+
+def _ell_enabled() -> bool:
+    """Use the scatter-free ELL path for ``@``? Default: accelerators only
+    (the CPU backend has the native C++ kernels). Override with
+    ``RLAOPT_SPARSE_ELL=1/0``."""
+    env = os.environ.get("RLAOPT_SPARSE_ELL")
+    if env is not None:
+        return env.lower() not in ("0", "false", "")
+    return jax.default_backend() != "cpu"
 
 
 class _SparseTensor:
@@ -43,6 +55,11 @@ class _SparseTensor:
         self.indptr = jnp.asarray(indptr)
         self.shape = (int(shape[0]), int(shape[1]))
         self.layout = layout
+        # Lazy hybrid-ELL cache for accelerator matmuls, keyed by buffer
+        # orientation ("B" = buffers read as CSR, "BT" = its transpose) and
+        # SHARED with transpose views (.T passes the same dict), so
+        # ``A @ x`` then ``A.T @ y`` build each ELL at most once.
+        self._ell_cache: dict = {}
         major = shape[0] if layout == _Layout.CSR else shape[1]
         if self.indptr.shape[0] != major + 1:
             raise ValueError(
@@ -104,13 +121,15 @@ class _SparseTensor:
         new_layout = (
             _Layout.CSC if self.layout == _Layout.CSR else _Layout.CSR
         )
-        return _SparseTensor(
+        t = _SparseTensor(
             self.values,
             self.indices,
             self.indptr,
             (self.shape[1], self.shape[0]),
             new_layout,
         )
+        t._ell_cache = self._ell_cache  # same buffers → share the ELL cache
+        return t
 
     # -- row slicing ---------------------------------------------------------
     def __getitem__(self, idx) -> "_SparseTensor":
@@ -155,11 +174,41 @@ class _SparseTensor:
                 f"dimension mismatch: {self.shape} @ {x.shape}"
             )
         n = self.shape[0]
+        ell = self._ell_for_view()
+        if ell is not None:
+            return ell_matvec(ell, x) if x.ndim == 1 else ell_matmat(ell, x)
         if self.layout == _Layout.CSR:
             fn = ops.csr_matvec if x.ndim == 1 else ops.csr_matmat
         else:
             fn = ops.csc_matvec if x.ndim == 1 else ops.csc_matmat
         return fn(self.values, self.indptr, self.indices, x, n)
+
+    def _ell_for_view(self):
+        """Hybrid-ELL pytree for THIS view's forward matmul, or None when
+        the ELL path is off / the buffers are abstract (inside a trace the
+        host-side conversion can't run — fall back to segment-sum)."""
+        if not _ell_enabled() or isinstance(self.values, jax.core.Tracer):
+            return None
+        key = "B" if self.layout == _Layout.CSR else "BT"
+        if key not in self._ell_cache:
+            import scipy.sparse as sp_
+
+            major = (
+                self.shape[0] if self.layout == _Layout.CSR else self.shape[1]
+            )
+            minor = self.shape[0] + self.shape[1] - major
+            B = sp_.csr_matrix(
+                (
+                    np.asarray(self.values),
+                    np.asarray(self.indices),
+                    np.asarray(self.indptr),
+                ),
+                shape=(major, minor),
+            )
+            if key == "BT":
+                B = B.T.tocsr()
+            self._ell_cache[key] = csr_to_ell(B.data, B.indptr, B.indices)
+        return self._ell_cache[key]
 
     def __rmatmul__(self, x) -> jax.Array:
         x = jnp.asarray(x)

@@ -164,3 +164,41 @@ class TestSparse100k:
         it = max(log.keys())
         rel = float(jnp.max(log[it]["metrics"]["internal_metrics"]["rel_res"]))
         assert rel < 1e-4
+
+
+class TestSparseShardRows:
+    """Row-partitioned sparse operator over the mesh (distributed analog of
+    the reference's row-chunked operators, ``rlaopt/kernels/base.py:297-302``)."""
+
+    @pytest.mark.parametrize("m", [64, 61])  # even and ragged row chunks
+    def test_matches_dense(self, m):
+        from rlaopt_tpu.parallel import make_mesh
+        from rlaopt_tpu.sparse import sparse_shard_rows
+
+        n = 36
+        Msp = _rand_sparse(np.float32, "csr", m=m, n=n, density=0.2, seed=3)
+        op = sparse_shard_rows(SparseCSRTensor(Msp), make_mesh())
+        D = np.asarray(Msp.todense(), np.float64)
+        x = np.linspace(-1, 1, n, dtype=np.float32)
+        y = np.linspace(1, -1, m, dtype=np.float32)
+        X = np.stack([x, 2 * x], axis=1)
+
+        np.testing.assert_allclose(
+            np.asarray(op @ x, np.float64), D @ x, rtol=0, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(op @ X, np.float64), D @ X, rtol=0, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(op.T @ y, np.float64), D.T @ y, rtol=0, atol=1e-5
+        )
+
+    def test_rejects_csc(self):
+        from rlaopt_tpu.parallel import make_mesh
+        from rlaopt_tpu.sparse import sparse_shard_rows
+
+        Msp = _rand_sparse(np.float32, "csc")
+        with pytest.raises(ValueError, match="CSR"):
+            sparse_shard_rows(
+                SparseCSRTensor(Msp.tocsr()).T, make_mesh()
+            )
