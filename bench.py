@@ -33,15 +33,16 @@ roofline is the honest formulation of the target.
 ``value``/``vs_baseline`` report the **exact-f32 tier** (the default tier
 solvers use) at d=512 under the +contraction roofline (the round-2
 definition — vs_baseline_strict gives the same number under the round-1
-definition). The headline moved from d=256 (round 1) to d=512 in round 2:
-profiling showed a fixed per-sweep cost of materializing the K tile
-(~2.6 ms at this n·m — constant across d∈{128,256,512}, tile sizes, and
-pass structures; it is the MXU→VMEM materialize+consume floor of any fused
-kernel, see benchmarks/fixed_cost_probe.py). At d=256 that fixed cost caps
-every implementation near ~0.69 of the pass-count roofline; at d=512 the
-required cross-term work dominates and the metric measures the kernel
-rather than the materialization floor. The d=256 numbers are reported
-alongside, uncorrected.
+definition). The headline moved from d=256 (round 1) to d=512 in round 2;
+the d=256 numbers are reported alongside, uncorrected. NOTE (round 3): the
+round-2 justification for that move — a claimed ~2.6 ms per-sweep
+K-materialization floor "invariant to d, tiles, pass structure" — did NOT
+survive software-pipelining the kernel bodies (overlapping the VPU
+epilogue of tile j−1 under the MXU cross passes of tile j). The measured
+intercept of the per-sweep time-vs-d fit is now 0.12 ms (exact tier) /
+1.7 ms (bf16x3) — see benchmarks/fixed_cost_probe.py and
+benchmarks/FIXED_COST_r3.json. The "floor" was scheduling serialization,
+not hardware; d=256 stands on its own measured fraction below.
 
 Beyond the RBF tiers the JSON reports one number per kernel family
 (laplace / matern12 / matern32 / matern52, exact tier, headline shape) and
@@ -127,6 +128,34 @@ def make_peak(chain=300):
     return f, 2.0 * N_PEAK**3, chain
 
 
+def make_vpu_peak(chain=2000):
+    """VPU abs-diff-accumulate peak: the speed-of-light op for the Laplace
+    (L1-distance) kernel family. |x−y| has no inner-product expansion, so
+    no MXU formulation exists — any Laplace Gram kernel is bound by how
+    fast the VPU streams `acc += |u − v|`. This probe measures that rate
+    (pairs/s) on resident (8·512, 512) f32 tiles; the Laplace roofline is
+    then pair_rate × 2(d+k)/d counted-FLOPs/s (2 counted flops per pair·dim
+    at d dims, credited with the contraction's k like the MXU tiers).
+    """
+    n_r, n_c = 4096, 512
+    u = jax.random.normal(jax.random.PRNGKey(7), (n_r, n_c), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(8), (n_r, n_c), jnp.float32)
+
+    @jax.jit
+    def f():
+        def body(_, acc):
+            # sub + abs + add per element — exactly the kernel's inner
+            # per-pair-per-dim op mix; the dependency on acc keeps the
+            # chain serialized. Values stay f32-bounded (linear drift).
+            return jnp.abs(u - acc) + v
+
+        z = jax.lax.fori_loop(0, chain, body, v, unroll=8)
+        return jnp.sum(z)
+
+    # one "pair" (sub+abs+add) per element per iteration
+    return f, float(n_r * n_c), chain
+
+
 def make_kernel(tier, d, kind="rbf"):
     from rlaopt_tpu.ops.kernel_pallas import kernel_matmat_pallas
 
@@ -198,7 +227,7 @@ def med(xs):
 
 
 def main():
-    runs = {"peak": make_peak()}
+    runs = {"peak": make_peak(), "vpu_peak": make_vpu_peak()}
     for d in DS:
         for tier in PASSES:
             runs[(tier, d)] = _size_chain(make_kernel(tier, d), 8)
@@ -239,13 +268,23 @@ def main():
             }
         shapes[f"d{d}"] = tiers
 
+    vpu_peak = med(reps["vpu_peak"])  # Tpairs/s (sub+abs+add triples)
     families = {}
     for kind in FAMILIES:
         tf = med(reps[("family", kind)])
-        roofline = peak * (D_HEADLINE + K) / (6 * D_HEADLINE + 128)
+        if kind == "laplace":
+            # L1 distance has no inner-product expansion → no MXU path
+            # exists; the engine is the feature-blocked VPU kernel and its
+            # speed of light is the measured abs-diff-accumulate rate.
+            roofline = vpu_peak * 2 * (D_HEADLINE + K) / D_HEADLINE
+            bound = "vpu"
+        else:
+            roofline = peak * (D_HEADLINE + K) / (6 * D_HEADLINE + 128)
+            bound = "mxu"
         families[kind] = {
             "tflops": round(tf, 2),
             "roofline_fraction": round(tf / roofline, 3),
+            "bound": bound,
         }
 
     sparse = None
@@ -268,6 +307,7 @@ def main():
                 "compute": "exact-f32 (solver default tier)",
                 "headline_shape": {"n": N, "m": M, "d": D_HEADLINE, "k": K},
                 "peak_bf16_tflops": round(peak, 2),
+                "vpu_peak_tpairs_per_s": round(vpu_peak, 3),
                 "shapes": shapes,
                 "kernel_families_exact_d512": families,
                 "sparse_csr_matvec": sparse,
