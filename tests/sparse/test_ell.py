@@ -144,6 +144,20 @@ class TestIntegration:
         with pytest.raises(ValueError, match="impl"):
             sparse_aslinop(SparseCSRTensor(_rand_csr()), impl="cuda")
 
+    def test_aslinop_dense_matches(self):
+        """impl='dense': small data matrices ride the MXU (the accelerator
+        has no hardware gather; densify whenever storage allows)."""
+        A = _rand_csr(seed=7)
+        op = sparse_aslinop(SparseCSRTensor(A), impl="dense")
+        D, x, X = _apply_oracle(A)
+        y = np.linspace(0, 1, A.shape[0]).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(op @ x, np.float64), D @ x, atol=1e-5, rtol=0
+        )
+        np.testing.assert_allclose(
+            np.asarray(op.T @ y, np.float64), D.T @ y, atol=1e-5, rtol=0
+        )
+
     def test_tensor_matmul_env_override(self, monkeypatch):
         """RLAOPT_SPARSE_ELL=1 routes `@` through the ELL cache (on the CPU
         test backend the default is the triplet/native path)."""
