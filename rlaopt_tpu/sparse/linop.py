@@ -141,7 +141,9 @@ def sparse_aslinop(sp: _SparseTensor, impl: str = "auto") -> TwoSidedLinOp:
     )
 
 
-def sparse_shard_rows(sp: _SparseTensor, mesh, axis: str = "i"):
+def sparse_shard_rows(
+    sp: _SparseTensor, mesh, axis: str = "i", impl: str = "auto"
+):
     """Row-partition a sparse CSR tensor over a mesh as a ShardedLinOp.
 
     The distributed analog of handing a ``SparseCSRTensor`` to a solve loop:
@@ -159,6 +161,12 @@ def sparse_shard_rows(sp: _SparseTensor, mesh, axis: str = "i"):
     widths are both harmless. Each chunk's ELL width covers its longest
     row (no COO spill), keeping every chunk's pytree structure identical
     as ``from_local_ops`` requires.
+
+    ``impl``: ``"auto"`` densifies each chunk onto the MXU when the chunk
+    fits the same 1 GiB budget as :func:`sparse_aslinop` (the TPU-measured
+    rule: sparsity pays only when dense cannot be stored) and uses ELL
+    beyond it; ``"ell"``/``"dense"`` force a path. All chunks take the
+    SAME path — ``from_local_ops`` requires identical pytree structure.
     """
     from ..linops.sharded import ShardedLinOp
     from ..parallel.distributed import axis_size
@@ -172,6 +180,8 @@ def sparse_shard_rows(sp: _SparseTensor, mesh, axis: str = "i"):
             "sparse_shard_rows needs CSR layout (row slicing); "
             "transpose a CSC tensor first (.T is zero-copy)"
         )
+    if impl not in ("auto", "ell", "dense"):
+        raise ValueError(f"impl must be auto|ell|dense, got {impl!r}")
     m, n = sp.shape
     ndev = axis_size(mesh, axis)
     chunk = -(-m // ndev)
@@ -183,8 +193,35 @@ def sparse_shard_rows(sp: _SparseTensor, mesh, axis: str = "i"):
             f"{m} rows over {ndev} devices leaves empty shards; "
             "use a smaller mesh axis"
         )
+    if impl == "auto":
+        impl = "dense" if chunk * n <= _DENSE_BUDGET else "ell"
 
     A = sp.to_scipy().tocsr()
+    if impl == "dense":
+
+        # HIGHEST precision like aslinop: the default f32 matmul runs bf16
+        # passes on TPU, degrading data-operator accuracy (linops/base.py).
+        def mv_dense(d, x):
+            return jnp.matmul(
+                d["D"], x, precision=jax.lax.Precision.HIGHEST
+            )
+
+        def rmv_dense(d, x):
+            return jnp.matmul(
+                d["D"].T, x, precision=jax.lax.Precision.HIGHEST
+            )
+
+        local_ops = [
+            TwoSidedLinOp(
+                (e - s, n), mv_dense, rmv_dense, dtype=sp.dtype,
+                data={"D": jnp.asarray(A[s:e].toarray())},
+            )
+            for s, e in bounds
+        ]
+        return ShardedLinOp.from_local_ops(
+            local_ops, mesh, mode="row", axis=axis
+        )
+
     local_ops = []
     for s, e in bounds:
         blk = A[s:e]

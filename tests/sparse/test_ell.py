@@ -176,12 +176,13 @@ class TestIntegration:
         assert set(spt._ell_cache) == {"B", "BT"}
         assert spt.T._ell_cache is spt._ell_cache
 
-    def test_shard_rows_uses_ell_payload(self):
+    @pytest.mark.parametrize("impl", ["ell", "dense"])
+    def test_shard_rows_payload_impls(self, impl):
         from rlaopt_tpu.parallel import make_mesh
         from rlaopt_tpu.sparse import sparse_shard_rows
 
         A = _rand_csr(m=61, n=36, seed=6)
-        op = sparse_shard_rows(SparseCSRTensor(A), make_mesh())
+        op = sparse_shard_rows(SparseCSRTensor(A), make_mesh(), impl=impl)
         D = A.toarray().astype(np.float64)
         x = np.linspace(-1, 1, 36).astype(np.float32)
         y = np.linspace(1, -1, 61).astype(np.float32)
