@@ -291,9 +291,18 @@ def _f64_residual_sampled(X, y, W, reg, lengthscale, s=4096, seed=7):
     y64 = np.asarray(y, np.float64).reshape(-1)
     W64 = np.asarray(W, np.float64).reshape(-1)
     sq = (X64**2).sum(1)
-    d2 = sq[idx, None] + sq[None, :] - 2.0 * (X64[idx] @ X64.T)
-    np.maximum(d2, 0.0, out=d2)
-    r = y64[idx] - (np.exp(-0.5 * d2) @ W64 + reg * W64[idx])
+    # stream column blocks: an unchunked (s, n) f64 distance matrix plus
+    # its exp/matmul temporaries peaks >100 GB at n=1M and OOMs the host
+    kv = np.zeros(s, np.float64)
+    blk = 1 << 16
+    Xs = X64[idx]
+    for c0 in range(0, n, blk):
+        c1 = min(c0 + blk, n)
+        d2 = sq[idx, None] + sq[None, c0:c1] - 2.0 * (Xs @ X64[c0:c1].T)
+        np.maximum(d2, 0.0, out=d2)
+        np.exp(-0.5 * d2, out=d2)
+        kv += d2 @ W64[c0:c1]
+    r = y64[idx] - (kv + reg * W64[idx])
     y_rms = float(np.linalg.norm(y64) / np.sqrt(n))
     r_rms = float(np.linalg.norm(r) / np.sqrt(s))
     rel = r_rms / y_rms
