@@ -137,12 +137,18 @@ def laned_matvec(laned, x, n_rows: int, *, interpret: bool = False):
     total = q.shape[0]                        # n_rows * T
     T = total // n_rows
     m = x.shape[0]
-    S = -(-m // LANE)
+    # table sublanes padded to a multiple of 8 (Mosaic block shapes must
+    # tile as (8k, 128); padded sublanes are never addressed by q)
+    s0 = -(-m // LANE)
+    S = -(-s0 // 8) * 8
     pad = S * LANE - m
     x2 = jnp.pad(x, (0, pad)).reshape(S, LANE)
 
-    # smallest rep multiple aligning T-row groups with block boundaries
-    reps = T // math.gcd(S, T)
+    # rep multiple aligning blocks with BOTH constraints: every row's T
+    # levels inside one block (T | step_rows) and a lane-tileable output
+    # block (128 | step_rows/T) → step_rows ≡ 0 (mod 128·T).
+    unit = (128 * T) // math.gcd(S, 128 * T)
+    reps = unit
     target_rows = max(1, (4 << 20) // (LANE * 8))  # ~4 MB of q+v per step
     while S * reps * 2 <= target_rows and S * reps < total:
         reps *= 2
