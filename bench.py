@@ -222,6 +222,43 @@ def make_sparse():
     return make
 
 
+def make_sparse_laned():
+    """Lane-aligned SpMV at the hard shape (1M rows × 16 nnz, m=1M):
+    the dynamic_gather formulation for column spaces too big to densify.
+    Useful-bytes metric matches the ELL tier for comparability."""
+    import numpy as np
+
+    from rlaopt_tpu.sparse.laned import csr_to_laned, laned_matvec
+
+    n_rows = 1 << 20
+    w = 16
+    nnz = w * n_rows
+    rng = np.random.default_rng(3)
+    values = rng.standard_normal(nnz).astype(np.float32)
+    indices = rng.integers(0, n_rows, nnz).astype(np.int32)
+    indptr = w * np.arange(n_rows + 1, dtype=np.int64)
+    laned = csr_to_laned(values, indptr, indices, n_rows)
+    x0 = jnp.asarray(rng.standard_normal(n_rows).astype(np.float32))
+
+    def make(chain):
+        @jax.jit
+        def g(laned, x0):
+            def body(_, x):
+                y = laned_matvec(laned, x, n_rows)
+                return y / jnp.linalg.norm(y)
+
+            x = jax.lax.fori_loop(0, chain, body, x0)
+            return jnp.sum(x)
+
+        def f():
+            return g(laned, x0)
+
+        bytes_per = 4.0 * (nnz * 3 + n_rows)
+        return f, bytes_per, chain
+
+    return make
+
+
 def make_sparse_tallskinny():
     """Tall-skinny sparse data matrix (1M×1024, 16 nnz/row) through the
     public `sparse_aslinop` auto dispatch — on accelerators this densifies
@@ -295,6 +332,11 @@ def main():
     except Exception as e:
         runs["sparse_ts"] = None
         sparse_ts_err = repr(e)
+    try:
+        runs["sparse_laned"] = _size_chain(make_sparse_laned(), 4)
+    except Exception as e:
+        runs["sparse_laned"] = None
+        sparse_laned_err = repr(e)
 
     # Interleave peak and tiers across repetitions so the time-shared chip's
     # throttle level affects numerator and denominator alike.
@@ -355,6 +397,12 @@ def main():
         }
     else:
         sparse_ts = {"error": sparse_ts_err}
+    if runs["sparse_laned"] is not None:
+        sparse_laned = {
+            "gbytes_per_s": round(med(reps["sparse_laned"]) * 1e3, 1)
+        }
+    else:
+        sparse_laned = {"error": sparse_laned_err}
 
     headline = shapes[f"d{D_HEADLINE}"]["exact"]
     print(
@@ -375,6 +423,7 @@ def main():
                 "kernel_families_exact_d512": families,
                 "sparse_csr_matvec": sparse,
                 "sparse_tallskinny_normal_eq_sweep": sparse_ts,
+                "sparse_laned_matvec": sparse_laned,
             }
         )
     )
