@@ -39,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-__all__ = ["csr_to_laned", "laned_matvec", "LANE"]
+__all__ = ["csr_to_laned", "laned_matvec", "laned_matmat", "LANE"]
 
 LANE = 128
 
@@ -120,7 +120,7 @@ def _laned_kernel(x2_ref, q_ref, v_ref, o_ref, *, T: int, reps: int):
     o_ref[...] = jnp.sum(p.reshape(-1, T * LANE), axis=1)
 
 
-def laned_matvec(laned, x, n_rows: int, *, interpret: bool = False):
+def laned_matvec(laned, x, n_rows: int, *, interpret: bool | None = None):
     """y = A @ x from the lane-aligned pytree (jit/scan-safe).
 
     The table (all of x) stays resident in VMEM across the grid.
@@ -133,6 +133,8 @@ def laned_matvec(laned, x, n_rows: int, *, interpret: bool = False):
 
     from jax.experimental import pallas as pl
 
+    if interpret is None:  # no Mosaic on the CPU backend — interpret there
+        interpret = jax.default_backend() == "cpu"
     q, v = laned["q"], laned["v"]
     total = q.shape[0]                        # n_rows * T
     T = total // n_rows
@@ -178,3 +180,13 @@ def laned_matvec(laned, x, n_rows: int, *, interpret: bool = False):
             laned["coo_values"] * x[laned["coo_cols"]]
         )
     return y
+
+
+def laned_matmat(laned, X, n_rows: int, *, interpret: bool | None = None):
+    """Y = A @ X, column-sequential (lax.map): peak memory stays at one
+    table + one slot sweep per RHS column."""
+    Yt = jax.lax.map(
+        lambda col: laned_matvec(laned, col, n_rows, interpret=interpret),
+        X.T,
+    )
+    return Yt.T

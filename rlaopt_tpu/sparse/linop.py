@@ -99,9 +99,9 @@ def sparse_aslinop(sp: _SparseTensor, impl: str = "auto") -> TwoSidedLinOp:
         raise TypeError(
             f"expected a sparse tensor, got {type(sp).__name__}"
         )
-    if impl not in ("auto", "ell", "dense", "triplet"):
+    if impl not in ("auto", "ell", "dense", "triplet", "laned"):
         raise ValueError(
-            f"impl must be auto|ell|dense|triplet, got {impl!r}"
+            f"impl must be auto|ell|dense|triplet|laned, got {impl!r}"
         )
     if impl == "auto":
         if jax.default_backend() == "cpu":
@@ -116,6 +116,25 @@ def sparse_aslinop(sp: _SparseTensor, impl: str = "auto") -> TwoSidedLinOp:
         from ..linops.base import aslinop
 
         return aslinop(sp.todense())
+
+    if impl == "laned":
+        from .laned import csr_to_laned, laned_matmat, laned_matvec
+
+        A = sp.to_scipy().tocsr()
+        At = A.T.tocsr()
+        data = {
+            "fwd": csr_to_laned(A.data, A.indptr, A.indices, n),
+            "adj": csr_to_laned(At.data, At.indptr, At.indices, m),
+        }
+        return TwoSidedLinOp(
+            (m, n),
+            lambda d, x: laned_matvec(d["fwd"], x, m),
+            lambda d, x: laned_matvec(d["adj"], x, n),
+            matmat=lambda d, X: laned_matmat(d["fwd"], X, m),
+            rmatmat=lambda d, X: laned_matmat(d["adj"], X, n),
+            dtype=sp.dtype,
+            data=data,
+        )
 
     if impl == "ell":
         data = _twosided_ell(sp)

@@ -144,6 +144,24 @@ class TestIntegration:
         with pytest.raises(ValueError, match="impl"):
             sparse_aslinop(SparseCSRTensor(_rand_csr()), impl="cuda")
 
+    def test_aslinop_laned_matches(self):
+        """impl='laned': dynamic_gather format, interpret mode on CPU."""
+        A = _rand_csr(m=50, n=700, density=0.03, seed=8)
+        op = sparse_aslinop(SparseCSRTensor(A), impl="laned")
+        D = A.toarray().astype(np.float64)
+        x = np.linspace(-1, 1, 700).astype(np.float32)
+        X = np.stack([x, -x], axis=1)
+        y = np.linspace(0, 1, 50).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(op @ x, np.float64), D @ x, atol=1e-5, rtol=0
+        )
+        np.testing.assert_allclose(
+            np.asarray(op @ X, np.float64), D @ X, atol=1e-5, rtol=0
+        )
+        np.testing.assert_allclose(
+            np.asarray(op.T @ y, np.float64), D.T @ y, atol=1e-5, rtol=0
+        )
+
     def test_aslinop_dense_matches(self):
         """impl='dense': small data matrices ride the MXU (the accelerator
         has no hardware gather; densify whenever storage allows)."""
