@@ -166,9 +166,12 @@ def config3_krr_pcg(max_iters=200):
     # solve converges to the f32-perturbed kernel's solution (true residual
     # ~ kernel-value error x ||W||); refinement re-evaluates the residual in
     # f64 on the host and solves f32 correction systems on-chip.
+    # accel refinement: d=28 RBF qualifies for the value64 path, which at
+    # n=100k runs the f64-grade residual in seconds vs minutes of host f64
+    # exp; the correction solves reuse the base solve's Nyström factor.
     W64, log = sys_.solve(
         cfg, jnp.zeros((n, 1), dtype=jnp.float32), callback_freq=20, key=key,
-        f64_refine_rounds=2,
+        f64_refine_rounds=2, f64_refine_device="accel",
     )
     wall = time.perf_counter() - t0
     it = max(i for i in log.keys() if isinstance(i, int))
@@ -358,8 +361,9 @@ def config6_northstar_1m_pcg(max_iters=60):
     hist = log["f64_refine"]["rel_res_f64"]
     rel_sampled, stderr = _f64_residual_sampled(X, y, W64, float(reg), ls)
     chunk_walls = [
-        log[i]["iter_time"] for i in sorted(log.keys())
-        if isinstance(i, int) and i > 0
+        log[i]["iter_time"]
+        for i in sorted(k for k in log.keys() if isinstance(k, int))
+        if i > 0
     ]
     med_chunk = sorted(chunk_walls)[len(chunk_walls) // 2] if chunk_walls else 0
     _result(

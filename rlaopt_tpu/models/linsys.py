@@ -158,6 +158,7 @@ class LinSys(Model):
         resume: bool = False,
         f64_refine_rounds: int = 0,
         f64_refine_device: str = "cpu",
+        preconditioner=None,
     ):
         """Solve the system; returns ``(solution, log)``.
 
@@ -183,6 +184,12 @@ class LinSys(Model):
         default accelerator — TPUs execute f64 through software emulation,
         slower than f32 but orders of magnitude faster than a host at
         n ≳ 10⁶, e.g. the 1M-point north-star benchmark).
+
+        ``preconditioner`` optionally supplies an already-built
+        preconditioner for this operator/reg; the solver skips its own
+        sketch + factorization (PCG/LSQR only). Refinement rounds reuse
+        the base solve's factor automatically — the correction systems
+        share the operator, so re-factoring is pure waste.
         """
         _is_solver_config(solver_config, "solver_config")
         _is_array(W_init, "W_init")
@@ -222,7 +229,7 @@ class LinSys(Model):
 
         solver = _get_solver(
             model=self, W_init=W_init, solver_config=solver_config,
-            key=_as_key(key),
+            key=_as_key(key), preconditioner=preconditioner,
         )
 
         checkpointer = None
@@ -244,6 +251,7 @@ class LinSys(Model):
             solution, refine_log = self._refine_f64(
                 solution, solver_config, f64_refine_rounds, atol, rtol,
                 callback_freq, key, device=f64_refine_device,
+                preconditioner=getattr(solver, "P", None),
             )
             log["f64_refine"] = refine_log
         return solution, log
@@ -381,7 +389,7 @@ class LinSys(Model):
 
     def _refine_f64(
         self, W, solver_config, rounds, atol, rtol, callback_freq, key,
-        device: str = "cpu",
+        device: str = "cpu", preconditioner=None,
     ):
         """Refinement loop (see ``solve``); returns (W64, per-round log)."""
         import numpy as np
@@ -405,11 +413,15 @@ class LinSys(Model):
             )):
                 break
             corr = LinSys(self._A, jnp.asarray(R64, W.dtype), reg=reg)
+            # Same operator and reg as the base solve: reuse its factor
+            # (SAP has no single factor — preconditioner arrives as None
+            # there and the correction solve builds its own per block).
             delta, _ = corr.solve(
                 solver_config,
                 jnp.zeros_like(jnp.asarray(R64, W.dtype)),
                 callback_freq=callback_freq,
                 key=jax.random.fold_in(_as_key(key), rnd + 1),
+                preconditioner=preconditioner,
             )
             W64 = W64 + np.asarray(delta, np.float64)
         R64 = B64 - (mm64(W64) + reg * W64)

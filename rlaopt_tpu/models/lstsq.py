@@ -105,8 +105,14 @@ class LstSq(Model):
         checkpoint_dir: Optional[str] = None,
         checkpoint_freq: Optional[int] = None,
         resume: bool = False,
+        preconditioner=None,
     ):
-        """Solve; returns ``(solution, log)``."""
+        """Solve; returns ``(solution, log)``.
+
+        ``preconditioner`` optionally supplies an already-built
+        preconditioner (e.g. a factored SkPre) so the solver skips its own
+        sketch + factorization.
+        """
         _is_solver_config(solver_config, "solver_config")
         _is_array(W_init, "W_init")
         if log_in_wandb and wandb_init_kwargs is None:
@@ -135,7 +141,7 @@ class LstSq(Model):
         )
         solver = _get_solver(
             model=self, W_init=W_init, solver_config=solver_config,
-            key=_as_key(key),
+            key=_as_key(key), preconditioner=preconditioner,
         )
         checkpointer = None
         if checkpoint_dir is not None:

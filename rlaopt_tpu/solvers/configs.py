@@ -115,12 +115,19 @@ class SAPConfig(SolverConfig):
         accel: use Nesterov-type acceleration.
         accel_config: (mu, nu) parameters; required when accel=True.
         power_iters: power-iteration count for the stepsize estimate.
+        blk_dense: materialize the block kernel tile once per iteration
+            and reuse it across the preconditioner sketch and every power
+            iteration (kernel operators only). None = auto: on when the
+            block oracle exposes a dense materialization and the tile fits
+            a 512 MiB budget; False = never; True = require (raises if the
+            oracle cannot materialize).
     """
 
     blk_sz: int
     accel: bool = True
     accel_config: Optional[SAPAccelConfig] = None
     power_iters: int = 10
+    blk_dense: Optional[bool] = None
 
     def __post_init__(self):
         super().__post_init__()
@@ -131,6 +138,8 @@ class SAPConfig(SolverConfig):
                 raise ValueError("accel_config must be specified if accel is True")
             _is_sap_accel_config(self.accel_config, "accel_config")
         _is_pos_int(self.power_iters, "power_iters")
+        if self.blk_dense is not None:
+            _is_bool(self.blk_dense, "blk_dense")
 
 
 @dataclass(kw_only=True, frozen=False)

@@ -16,9 +16,22 @@ __all__ = ["_get_solver"]
 
 
 def _get_solver(
-    model: "Model", W_init: jax.Array, solver_config: SolverConfig, key=None
+    model: "Model",
+    W_init: jax.Array,
+    solver_config: SolverConfig,
+    key=None,
+    preconditioner=None,
 ):
-    """Instantiate the solver matching the config class."""
+    """Instantiate the solver matching the config class.
+
+    ``preconditioner`` (optional): an already-built
+    :class:`~rlaopt_tpu.preconditioners.Preconditioner` for the SAME
+    operator/regularization; the solver skips its own factorization. Used
+    by mixed-precision refinement to share one factor across the base and
+    correction solves, and available to callers with a prebuilt factor.
+    SAP builds per-block preconditioners each iteration and cannot accept
+    one.
+    """
     cls = solver_config.__class__
     if cls is PCGConfig:
         return PCG(
@@ -26,8 +39,14 @@ def _get_solver(
             W_init=W_init,
             precond_config=solver_config.precond_config,
             key=key,
+            preconditioner=preconditioner,
         )
     if cls is SAPConfig:
+        if preconditioner is not None:
+            raise ValueError(
+                "SAP factors a fresh per-block preconditioner every "
+                "iteration; a prebuilt preconditioner cannot be supplied"
+            )
         return SAP(
             system=model,
             W_init=W_init,
@@ -37,6 +56,7 @@ def _get_solver(
             accel_config=solver_config.accel_config,
             power_iters=solver_config.power_iters,
             key=key,
+            blk_dense=solver_config.blk_dense,
         )
     if cls is LSQRConfig:
         from .lsqr import LSQR
@@ -47,5 +67,6 @@ def _get_solver(
             precond_config=solver_config.precond_config,
             damp=solver_config.damp,
             key=key,
+            preconditioner=preconditioner,
         )
     raise ValueError(f"No solver registered for config {cls.__name__}")

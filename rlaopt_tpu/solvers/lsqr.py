@@ -66,6 +66,7 @@ class LSQR(Solver):
         precond_config: PreconditionerConfig,
         damp: float = 0.0,
         key=None,
+        preconditioner=None,
     ):
         if not isinstance(precond_config, VALID_PRECONDS):
             raise TypeError(
@@ -76,7 +77,10 @@ class LSQR(Solver):
         self.damp = damp
         self._key = _as_key(key)
         self.precond_config = precond_config
-        self.P = self._get_precond()
+        self.P = (
+            preconditioner if preconditioner is not None
+            else self._get_precond()
+        )
         self._L = getattr(self.P, "L", None)  # None for Identity
 
         # LSQR starts its bidiagonalization from W=0 (a nonzero W_init would

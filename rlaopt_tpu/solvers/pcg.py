@@ -177,11 +177,17 @@ class PCG(Solver):
         W_init: jax.Array,
         precond_config: PreconditionerConfig,
         key=None,
+        preconditioner=None,
     ):
         self.system = system
         self.precond_config = precond_config
         self._key = _as_key(key)
-        self.P = self._get_precond()
+        # A prebuilt preconditioner (same operator/reg) skips the sketch +
+        # factorization — refinement rounds reuse the base solve's factor.
+        self.P = (
+            preconditioner if preconditioner is not None
+            else self._get_precond()
+        )
         self._inv_fn, self._pstate = self.P._functional_inverse()
         self._reg = jnp.asarray(system.reg, dtype=W_init.dtype)
         W0 = jnp.asarray(W_init)

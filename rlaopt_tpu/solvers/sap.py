@@ -79,6 +79,7 @@ class SAP(Solver):
         power_iters: int,
         key=None,
         _block_schedule=None,
+        blk_dense=None,
     ):
         self.system = system
         if type(precond_config) not in VALID_PRECONDS:
@@ -106,10 +107,39 @@ class SAP(Solver):
         self._block_schedule = (
             jnp.asarray(_block_schedule) if _block_schedule is not None else None
         )
+        self._blk_dense_fn = self._resolve_blk_dense(blk_dense, W0.dtype)
         self.state = SAPState(
             W=W0, V=W0, Y=W0, key=_as_key(key), t=jnp.asarray(0)
         )
         self._chunk_fn = self._build_chunk_fn()
+
+    _BLK_DENSE_BUDGET = 512 << 20  # bytes: auto-materialization cap
+
+    def _resolve_blk_dense(self, blk_dense, dtype):
+        """Pick the per-step block-tile materializer (or None).
+
+        The block operator is re-applied ~power_iters + sketch times per
+        iteration; when the oracle can materialize K[blk, blk] directly
+        (one kernel-tile evaluation), doing so once and reusing dense
+        matmuls removes every recomputation. Auto (None) enables it when
+        the oracle is a bound method of an object exposing ``blk_dense``
+        and the tile fits the budget; True requires it; False disables.
+        """
+        if blk_dense is False:
+            return None
+        owner = getattr(self.system.A_blk_oracle, "__self__", None)
+        fn = getattr(owner, "blk_dense", None)
+        if fn is None:
+            if blk_dense is True:
+                raise ValueError(
+                    "blk_dense=True requires the block oracle to expose a "
+                    "dense materialization (e.g. a KernelLinOp.blk_oracle)"
+                )
+            return None
+        tile_bytes = self.blk_sz * self.blk_sz * jnp.dtype(dtype).itemsize
+        if blk_dense is None and tile_bytes > self._BLK_DENSE_BUDGET:
+            return None
+        return fn
 
     @property
     def W(self):
@@ -127,14 +157,17 @@ class SAP(Solver):
     def _default_row_mm(self, blk, X):
         return self.system.A_row_oracle(blk) @ X
 
-    def _get_precond(self, blk, key, dtype, blk_mm):
+    def _get_precond(self, blk, key, dtype, blk_mm, K_blk=None):
         """Build the block preconditioner state; returns (apply_inv, exact)."""
         reg = self.system.reg
         cfg = self.precond_config
         if isinstance(cfg, IdentityConfig):
             return (lambda x: x), False
         if isinstance(cfg, NewtonConfig):
-            A_blk = blk_mm(blk, jnp.eye(self.blk_sz, dtype=dtype))
+            A_blk = (
+                K_blk if K_blk is not None
+                else blk_mm(blk, jnp.eye(self.blk_sz, dtype=dtype))
+            )
             L = newton_update(A_blk, cfg.rho)
             exact = cfg.rho == reg
             return (lambda x: newton_apply_inv(L, x)), exact
@@ -176,7 +209,18 @@ class SAP(Solver):
             blk = self._block_schedule[state.t % self._block_schedule.shape[0]]
         else:
             blk = jax.random.choice(k_blk, n, (self.blk_sz,), replace=False)
-        apply_inv, exact = self._get_precond(blk, k_prec, dtype, blk_mm)
+        K_blk = None
+        if self._blk_dense_fn is not None:
+            # One tile evaluation; the sketch + every power iteration below
+            # become dense matmuls on the resident block.
+            K_blk = self._blk_dense_fn(blk)
+
+            def blk_mm(b, Z, _K=K_blk):  # noqa: ARG005 — b fixed to blk
+                return _K @ Z
+
+        apply_inv, exact = self._get_precond(
+            blk, k_prec, dtype, blk_mm, K_blk=K_blk
+        )
         stepsize = self._get_stepsize(
             blk, apply_inv, exact, k_pow, dtype, blk_mm
         )

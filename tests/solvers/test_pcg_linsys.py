@@ -242,6 +242,72 @@ class TestConfigSerialization:
         )
 
 
+class TestPreconditionerReuse:
+    def test_prebuilt_preconditioner_matches_internal(self, key):
+        """solve(preconditioner=P) skips factorization but converges the
+        same as letting the solver build P itself (same key → same sketch)."""
+        from rlaopt_tpu.preconditioners import Nystrom
+
+        A, B = make_spd_system(key, 128, 2, jnp.float32)
+        reg = 1e-4
+        cfg = PCGConfig(
+            max_iters=60, rtol=1e-6,
+            precond_config=NystromConfig(rank=48, rho=reg),
+        )
+        W0 = jnp.zeros_like(B)
+        sys_ = LinSys(A, B, reg=reg)
+        W_auto, _ = sys_.solve(cfg, W0, callback_freq=10, key=key)
+
+        P = Nystrom(NystromConfig(rank=48, rho=reg))
+        P._update(sys_.A, key=key)
+        P._update_damping(baseline_rho=reg)
+        W_pre, _ = LinSys(A, B, reg=reg).solve(
+            cfg, W0, callback_freq=10, key=key, preconditioner=P
+        )
+        assert jnp.allclose(W_auto, W_pre, rtol=1e-5, atol=1e-6)
+
+    def test_refinement_factors_once(self, key, monkeypatch):
+        """f64 refinement reuses the base solve's factor: the correction
+        systems share the operator/reg, so Nystrom._update runs exactly
+        once across base + all rounds."""
+        from rlaopt_tpu.preconditioners import Nystrom
+
+        calls = {"n": 0}
+        orig = Nystrom._update
+
+        def counting_update(self, A, *args, **kwargs):
+            calls["n"] += 1
+            return orig(self, A, *args, **kwargs)
+
+        monkeypatch.setattr(Nystrom, "_update", counting_update)
+        A, B = make_spd_system(key, 96, 2, jnp.float32)
+        cfg = PCGConfig(
+            max_iters=50, rtol=1e-9,
+            precond_config=NystromConfig(rank=48, rho=1e-2),
+        )
+        W64, log = LinSys(A, B, reg=1e-2).solve(
+            cfg, jnp.zeros_like(B), callback_freq=10, key=key,
+            f64_refine_rounds=2,
+        )
+        assert calls["n"] == 1
+        assert max(log["f64_refine"]["rel_res_f64"][-1]) < 1e-7
+
+    def test_sap_rejects_prebuilt(self, key):
+        from rlaopt_tpu.preconditioners import Nystrom
+        from rlaopt_tpu.solvers import SAPConfig
+
+        A, B = make_spd_system(key, 64, 1, jnp.float32)
+        P = Nystrom(NystromConfig(rank=16, rho=1e-2))
+        cfg = SAPConfig(
+            max_iters=4, rtol=1e-6, blk_sz=16, accel=False,
+            precond_config=NystromConfig(rank=8, rho=1e-2),
+        )
+        with pytest.raises(ValueError, match="per-block"):
+            LinSys(A, B, reg=1e-2).solve(
+                cfg, jnp.zeros_like(B), key=key, preconditioner=P
+            )
+
+
 class TestF64Refinement:
     @pytest.mark.parametrize("refine_device", ["cpu", "accel"])
     def test_kernel_krr_refinement_beats_f32_floor(self, key, refine_device):

@@ -112,3 +112,81 @@ class TestSAP:
             SAPAccelConfig(mu=0.9, nu=2.0)  # mu*nu > 1
         with pytest.raises(ValueError):
             SAPConfig(max_iters=10, blk_sz=8, accel=True)  # missing accel cfg
+
+
+class TestBlkDense:
+    """Per-iteration block-tile materialization (SAPConfig.blk_dense)."""
+
+    def test_blk_dense_matches_streamed(self, krr_problem, key):
+        """blk_dense on vs off: same kernel entries, same matmuls — the
+        iterates agree to rounding on the kernel-oracle problem."""
+        X, K, B, reg, W_true = krr_problem
+        A = RBFLinOp(X, X, KernelConfig(lengthscale=1.0))
+        outs = []
+        for flag in (False, True):
+            sys_ = LinSys(
+                A, B, reg=reg,
+                A_row_oracle=A.row_oracle, A_blk_oracle=A.blk_oracle,
+            )
+            cfg = SAPConfig(
+                max_iters=60, rtol=1e-8, blk_sz=16,
+                precond_config=NystromConfig(rank=8, rho=reg),
+                accel=False, blk_dense=flag,
+            )
+            W, _ = sys_.solve(
+                cfg, jnp.zeros_like(B), callback_freq=30, key=key
+            )
+            outs.append(W)
+        diff = float(
+            jnp.linalg.norm(outs[0] - outs[1]) / jnp.linalg.norm(outs[0])
+        )
+        assert diff < 1e-10, diff
+
+    def test_kernel_blk_dense_values(self, krr_problem, key):
+        """KernelLinOp.blk_dense equals the streamed oracle applied to I."""
+        X, K, B, reg, _ = krr_problem
+        A = RBFLinOp(X, X, KernelConfig(lengthscale=1.0))
+        blk = jnp.asarray([3, 7, 11, 42])
+        dense = A.blk_dense(blk)
+        streamed = A.blk_oracle(blk) @ jnp.eye(4, dtype=X.dtype)
+        assert jnp.allclose(dense, streamed, rtol=1e-12, atol=1e-14)
+        assert jnp.allclose(dense, K[blk][:, blk], rtol=1e-12, atol=1e-14)
+
+    def test_blk_dense_requires_capable_oracle(self, krr_problem, key):
+        X, K, B, reg, _ = krr_problem
+        row, blk = dense_oracles(K)
+        sys_ = LinSys(K, B, reg=reg, A_row_oracle=row, A_blk_oracle=blk)
+        cfg = SAPConfig(
+            max_iters=5, blk_sz=8, accel=False, blk_dense=True,
+            precond_config=NewtonConfig(rho=reg),
+        )
+        with pytest.raises(ValueError, match="blk_dense"):
+            sys_.solve(cfg, jnp.zeros_like(B), key=key)
+
+    def test_auto_budget_gate(self, krr_problem, key):
+        """Auto mode declines when the tile exceeds the budget."""
+        from rlaopt_tpu.solvers.sap import SAP
+
+        X, K, B, reg, _ = krr_problem
+        A = RBFLinOp(X, X, KernelConfig(lengthscale=1.0))
+        sys_ = LinSys(
+            A, B, reg=reg,
+            A_row_oracle=A.row_oracle, A_blk_oracle=A.blk_oracle,
+        )
+        solver = SAP(
+            system=sys_, W_init=jnp.zeros_like(B),
+            precond_config=NewtonConfig(rho=reg), blk_sz=16,
+            accel=False, accel_config=None, power_iters=2, key=key,
+        )
+        assert solver._blk_dense_fn is not None  # small tile: auto-on
+        old = SAP._BLK_DENSE_BUDGET
+        try:
+            SAP._BLK_DENSE_BUDGET = 16  # force over-budget
+            solver2 = SAP(
+                system=sys_, W_init=jnp.zeros_like(B),
+                precond_config=NewtonConfig(rho=reg), blk_sz=16,
+                accel=False, accel_config=None, power_iters=2, key=key,
+            )
+            assert solver2._blk_dense_fn is None
+        finally:
+            SAP._BLK_DENSE_BUDGET = old
