@@ -121,6 +121,13 @@ class SAPConfig(SolverConfig):
             block oracle exposes a dense materialization and the tile fits
             a 512 MiB budget; False = never; True = require (raises if the
             oracle cannot materialize).
+        sampling: where the uniform without-replacement block indices are
+            drawn. "device" samples in-trace (``jax.random.choice``, which
+            lowers to a full n-element sort per iteration — expensive on
+            TPU at large n); "host" pre-draws each compiled chunk's blocks
+            with numpy and ships them as a (chunk, blk_sz) argument — the
+            same iid uniform without-replacement distribution at zero
+            device cost; "auto" picks host when n >= 2**17.
     """
 
     blk_sz: int
@@ -128,6 +135,7 @@ class SAPConfig(SolverConfig):
     accel_config: Optional[SAPAccelConfig] = None
     power_iters: int = 10
     blk_dense: Optional[bool] = None
+    sampling: str = "auto"
 
     def __post_init__(self):
         super().__post_init__()
@@ -140,6 +148,11 @@ class SAPConfig(SolverConfig):
         _is_pos_int(self.power_iters, "power_iters")
         if self.blk_dense is not None:
             _is_bool(self.blk_dense, "blk_dense")
+        if self.sampling not in ("auto", "device", "host"):
+            raise ValueError(
+                "sampling must be one of 'auto', 'device', 'host', "
+                f"but received {self.sampling!r}"
+            )
 
 
 @dataclass(kw_only=True, frozen=False)

@@ -57,6 +57,7 @@ def _get_solver(
             power_iters=solver_config.power_iters,
             key=key,
             blk_dense=solver_config.blk_dense,
+            sampling=solver_config.sampling,
         )
     if cls is LSQRConfig:
         from .lsqr import LSQR

@@ -80,6 +80,7 @@ class SAP(Solver):
         key=None,
         _block_schedule=None,
         blk_dense=None,
+        sampling="auto",
     ):
         self.system = system
         if type(precond_config) not in VALID_PRECONDS:
@@ -108,6 +109,17 @@ class SAP(Solver):
             jnp.asarray(_block_schedule) if _block_schedule is not None else None
         )
         self._blk_dense_fn = self._resolve_blk_dense(blk_dense, W0.dtype)
+        # Host-side block sampling: jax.random.choice(n, blk_sz,
+        # replace=False) lowers to a full n-element sort EVERY iteration —
+        # tens of ms of device time at n=1M. Pre-drawing each chunk's
+        # blocks on the host (numpy, seeded from the solver key) gives the
+        # identical iid uniform without-replacement distribution at zero
+        # device cost; "auto" switches over where the sort starts to
+        # matter. The debug `_block_schedule` override wins over both.
+        n = system.A.shape[0]
+        self._host_sampling = _block_schedule is None and (
+            sampling == "host" or (sampling == "auto" and n >= (1 << 17))
+        )
         self.state = SAPState(
             W=W0, V=W0, Y=W0, key=_as_key(key), t=jnp.asarray(0)
         )
@@ -198,17 +210,22 @@ class SAP(Solver):
         )
         return 1.0 / max_eig
 
-    def _step_fn(self, state: SAPState, mask, blk_mm, row_mm) -> SAPState:
+    def _step_fn(self, state: SAPState, mask, blk_mm, row_mm, blk=None) -> SAPState:
         dtype = state.W.dtype
         n = self.system.A.shape[0]
         reg = jnp.asarray(self.system.reg, dtype)
         B = self.system.B
+        # k_blk is burned even when blk arrives precomputed (host sampling)
+        # so the k_prec/k_pow streams are mode-independent.
         key, k_blk, k_prec, k_pow = jax.random.split(state.key, 4)
 
-        if self._block_schedule is not None:
-            blk = self._block_schedule[state.t % self._block_schedule.shape[0]]
-        else:
-            blk = jax.random.choice(k_blk, n, (self.blk_sz,), replace=False)
+        if blk is None:
+            if self._block_schedule is not None:
+                blk = self._block_schedule[
+                    state.t % self._block_schedule.shape[0]
+                ]
+            else:
+                blk = jax.random.choice(k_blk, n, (self.blk_sz,), replace=False)
         K_blk = None
         if self._blk_dense_fn is not None:
             # One tile evaluation; the sketch + every power iteration below
@@ -264,10 +281,11 @@ class SAP(Solver):
             and getattr(self.system.A_row_oracle, "__self__", None) is A
             and getattr(self.system.A_blk_oracle, "__self__", None) is A
         )
+        host = self._host_sampling
         if self._pass_data:
 
             @partial(jax.jit, static_argnames=("n_steps",))
-            def chunk(A_data, state, mask, n_steps):
+            def chunk(A_data, state, mask, n_steps, blks=None):
                 A_loc = A._with_data(A_data)
 
                 def blk_mm(blk, X):
@@ -276,36 +294,69 @@ class SAP(Solver):
                 def row_mm(blk, X):
                     return A_loc.row_oracle(blk) @ X
 
-                def body(s, _):
-                    return self._step_fn(s, mask, blk_mm, row_mm), None
+                def body(s, blk):
+                    return self._step_fn(s, mask, blk_mm, row_mm, blk=blk), None
 
-                state, _ = jax.lax.scan(body, state, None, length=n_steps)
+                state, _ = jax.lax.scan(
+                    body, state, blks, length=None if host else n_steps
+                )
                 return state
 
             return chunk
 
         @partial(jax.jit, static_argnames=("n_steps",))
-        def chunk(state, mask, n_steps):
-            def body(s, _):
+        def chunk(state, mask, n_steps, blks=None):
+            def body(s, blk):
                 return (
                     self._step_fn(
-                        s, mask, self._default_blk_mm, self._default_row_mm
+                        s, mask, self._default_blk_mm, self._default_row_mm,
+                        blk=blk,
                     ),
                     None,
                 )
 
-            state, _ = jax.lax.scan(body, state, None, length=n_steps)
+            state, _ = jax.lax.scan(
+                body, state, blks, length=None if host else n_steps
+            )
             return state
 
         return chunk
+
+    def _sample_host_blocks(self, n_steps: int):
+        """(n_steps, blk_sz) iid uniform without-replacement block draws.
+
+        Seeded deterministically from the solver key and the iteration
+        counter, so a given (key, chunk boundary) pair reproduces across
+        runs exactly like the in-trace sampler does.
+        """
+        import numpy as np
+
+        n = self.system.A.shape[0]
+        k = self.state.key
+        if jnp.issubdtype(k.dtype, jax.dtypes.prng_key):
+            k = jax.random.key_data(k)
+        kd = np.asarray(k, dtype=np.uint32).ravel()
+        rng = np.random.default_rng(
+            np.concatenate([kd, [np.uint32(int(self.state.t))]])
+        )
+        blks = np.empty((n_steps, self.blk_sz), dtype=np.int32)
+        for i in range(n_steps):
+            blks[i] = rng.choice(n, size=self.blk_sz, replace=False)
+        return jnp.asarray(blks)
 
     def _step(self):
         self._run_chunk(1)
 
     def _run_chunk(self, n_steps: int):
+        blks = (
+            self._sample_host_blocks(n_steps) if self._host_sampling else None
+        )
         if self._pass_data:
             self.state = self._chunk_fn(
-                self.system.A._data, self.state, self.system.mask, n_steps
+                self.system.A._data, self.state, self.system.mask, n_steps,
+                blks=blks,
             )
         else:
-            self.state = self._chunk_fn(self.state, self.system.mask, n_steps)
+            self.state = self._chunk_fn(
+                self.state, self.system.mask, n_steps, blks=blks
+            )

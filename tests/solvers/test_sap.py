@@ -190,3 +190,73 @@ class TestBlkDense:
             assert solver2._blk_dense_fn is None
         finally:
             SAP._BLK_DENSE_BUDGET = old
+
+
+class TestHostSampling:
+    """SAPConfig.sampling: host-drawn block schedules vs in-trace choice."""
+
+    def test_host_sampling_converges(self, krr_problem, key):
+        """Forced host sampling solves the problem to the same tolerance
+        as the in-trace sampler (same distribution, different stream)."""
+        X, K, B, reg, W_true = krr_problem
+        row, blk = dense_oracles(K)
+        sys_ = LinSys(K, B, reg=reg, A_row_oracle=row, A_blk_oracle=blk)
+        cfg = SAPConfig(
+            max_iters=600, rtol=1e-6, blk_sz=16,
+            precond_config=NewtonConfig(rho=reg), accel=False,
+            sampling="host",
+        )
+        W, _ = sys_.solve(cfg, jnp.zeros_like(B), callback_freq=100, key=key)
+        err = float(jnp.linalg.norm(W - W_true) / jnp.linalg.norm(W_true))
+        assert err < 1e-5
+
+    def test_host_draws_are_valid_and_deterministic(self, krr_problem, key):
+        from rlaopt_tpu.solvers.sap import SAP
+
+        X, K, B, reg, _ = krr_problem
+        row, blk = dense_oracles(K)
+        sys_ = LinSys(K, B, reg=reg, A_row_oracle=row, A_blk_oracle=blk)
+
+        def make():
+            return SAP(
+                system=sys_, W_init=jnp.zeros_like(B),
+                precond_config=NewtonConfig(rho=reg), blk_sz=16,
+                accel=False, accel_config=None, power_iters=2, key=key,
+                sampling="host",
+            )
+
+        s1, s2 = make(), make()
+        b1 = np.asarray(s1._sample_host_blocks(5))
+        b2 = np.asarray(s2._sample_host_blocks(5))
+        assert b1.shape == (5, 16)
+        np.testing.assert_array_equal(b1, b2)  # same key, same t → same draws
+        n = K.shape[0]
+        assert b1.min() >= 0 and b1.max() < n
+        for step in b1:  # without replacement within each step
+            assert len(set(step.tolist())) == len(step)
+        # draws differ across steps with overwhelming probability
+        assert not np.array_equal(b1[0], b1[1])
+
+    def test_auto_threshold(self, krr_problem, key):
+        from rlaopt_tpu.solvers.sap import SAP
+
+        X, K, B, reg, _ = krr_problem
+        row, blk = dense_oracles(K)
+        sys_ = LinSys(K, B, reg=reg, A_row_oracle=row, A_blk_oracle=blk)
+        solver = SAP(
+            system=sys_, W_init=jnp.zeros_like(B),
+            precond_config=NewtonConfig(rho=reg), blk_sz=16,
+            accel=False, accel_config=None, power_iters=2, key=key,
+        )
+        assert not solver._host_sampling  # n=64 stays on-device
+        forced = SAP(
+            system=sys_, W_init=jnp.zeros_like(B),
+            precond_config=NewtonConfig(rho=reg), blk_sz=16,
+            accel=False, accel_config=None, power_iters=2, key=key,
+            sampling="host",
+        )
+        assert forced._host_sampling
+
+    def test_bad_sampling_value(self):
+        with pytest.raises(ValueError, match="sampling"):
+            SAPConfig(max_iters=10, blk_sz=8, accel=False, sampling="gpu")
