@@ -112,7 +112,27 @@ class LinSys(Model):
             return self._A @ W
         return hmm(jnp.asarray(self._A), W)
 
-    def _compute_internal_metrics(self, W: jax.Array):
+    def _compute_internal_metrics(self, W: jax.Array, force_true: bool = False):
+        # Recurrence-residual metrics (see ``solve(metrics=...)``): norms of
+        # the solver's carried residual are O(n·k) versus a full operator
+        # apply per logging boundary — at n=1M that apply is ~20-40 s of
+        # device time every ``callback_freq`` iterations. Any convergence
+        # claim made from the recurrence residual is CONFIRMED below by
+        # falling through to the full evaluation, so termination decisions
+        # and the final logged metrics always rest on a true residual.
+        if not force_true and getattr(self, "_metrics_recurrence", False):
+            R = self._metrics_solver.residual()
+            abs_res = jnp.linalg.norm(R, axis=0)
+            b_norms = jnp.linalg.norm(self._B, axis=0)
+            atol, rtol = self._term_tol
+            if not bool(
+                jnp.all(abs_res <= jnp.maximum(rtol * b_norms, atol))
+            ):
+                return {
+                    "abs_res": abs_res,
+                    "rel_res": abs_res / b_norms,
+                    "source": "recurrence",
+                }
         # Compensated residual evaluation when the operator supports it
         # (f32 kernel operators): hi + lo carries the matvec's cross-tile
         # rounding errors, so the REPORTED residual is trustworthy below the
@@ -159,8 +179,19 @@ class LinSys(Model):
         f64_refine_rounds: int = 0,
         f64_refine_device: str = "cpu",
         preconditioner=None,
+        metrics: str = "auto",
     ):
         """Solve the system; returns ``(solution, log)``.
+
+        ``metrics`` selects the residual source for logging/termination:
+        ``"true"`` re-applies the operator at every logging boundary (the
+        reference's behavior); ``"recurrence"`` reads the solver's carried
+        residual (PCG's R) — O(n·k) instead of a full matvec — with every
+        convergence claim confirmed against a true residual before the
+        solve stops; ``"auto"`` (default) picks recurrence when
+        n ≥ 2**17 and the solver carries one, so small problems keep
+        reference-exact logging and large ones skip ~one operator apply
+        per boundary.
 
         ``key`` seeds randomized components (preconditioner sketches, SAP
         block sampling); None draws from the package-global chain.
@@ -227,10 +258,22 @@ class LinSys(Model):
             log_freq=callback_freq, log_fn=log_fn, wandb_kwargs=wandb_kwargs
         )
 
+        if metrics not in ("auto", "true", "recurrence"):
+            raise ValueError(
+                "metrics must be one of 'auto', 'true', 'recurrence', "
+                f"but received {metrics!r}"
+            )
+
         solver = _get_solver(
             model=self, W_init=W_init, solver_config=solver_config,
             key=_as_key(key), preconditioner=preconditioner,
         )
+        self._metrics_solver = solver
+        self._term_tol = (atol, rtol)
+        self._metrics_recurrence = (
+            metrics == "recurrence"
+            or (metrics == "auto" and self._B.shape[0] >= (1 << 17))
+        ) and solver.residual() is not None
 
         checkpointer = None
         if checkpoint_dir is not None:
@@ -392,6 +435,8 @@ class LinSys(Model):
         device: str = "cpu", preconditioner=None,
     ):
         """Refinement loop (see ``solve``); returns (W64, per-round log)."""
+        import dataclasses
+
         import numpy as np
 
         mm64 = self._f64_matmat(device)
@@ -416,8 +461,22 @@ class LinSys(Model):
             # Same operator and reg as the base solve: reuse its factor
             # (SAP has no single factor — preconditioner arrives as None
             # there and the correction solve builds its own per block).
-            delta, _ = corr.solve(
+            #
+            # Adaptive correction accuracy: the outer error contracts by
+            # roughly the correction solve's own relative residual, so the
+            # correction only needs rtol ≈ (certification target / current
+            # residual) × safety — NOT the outer solve's full rtol. At the
+            # 1M north star this stops the correction solve after ~10
+            # iterations instead of running all 60.
+            tol_rel = np.maximum(rtol, atol / np.maximum(b_norms, 1e-300))
+            needed = float(np.min(tol_rel / np.maximum(rel, 1e-300))) * 0.3
+            corr_cfg = dataclasses.replace(
                 solver_config,
+                rtol=float(np.clip(needed, 1e-7, 0.5)),
+                atol=0.0,
+            )
+            delta, _ = corr.solve(
+                corr_cfg,
                 jnp.zeros_like(jnp.asarray(R64, W.dtype)),
                 callback_freq=callback_freq,
                 key=jax.random.fold_in(_as_key(key), rnd + 1),

@@ -165,6 +165,20 @@ class Model(ABC):
                     break
 
         logger._terminate()
+        # If the last boundary's metrics came from the solver's recurrence
+        # residual (metrics="recurrence"/"auto" on a large problem), replace
+        # them with a full true-residual evaluation: the returned log's
+        # final numbers are always backed by an operator apply, never by
+        # the (potentially drift-optimistic) recurrence.
+        final = log.get(i)
+        if (
+            final is not None
+            and final["metrics"]["internal_metrics"].get("source")
+            == "recurrence"
+        ):
+            final["metrics"]["internal_metrics"] = (
+                self._compute_internal_metrics(solver.W, force_true=True)
+            )
         return solver.W, log
 
     @abstractmethod

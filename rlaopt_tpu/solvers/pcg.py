@@ -271,6 +271,16 @@ class PCG(Solver):
     def W(self):
         return self.state.W
 
+    def residual(self):
+        """Carried recurrence residual R (see ``Solver.residual``).
+
+        Kept honest by ``_resync`` residual replacement; near the dtype
+        floor it can drift optimistic, which is why the model layer
+        CONFIRMS any recurrence-based termination decision with a full
+        residual evaluation before declaring convergence.
+        """
+        return self.state.R
+
     def _get_precond(self):
         P = _get_precond(self.precond_config)
         P._update(self.system.A, key=self._key)

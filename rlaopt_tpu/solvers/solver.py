@@ -34,3 +34,15 @@ class Solver(ABC):
         """
         for _ in range(n_steps):
             self._step()
+
+    def residual(self):
+        """The solver's carried (recurrence) residual, or None.
+
+        Solvers that maintain the residual as part of their iteration state
+        (PCG's R) expose it here so the model layer can log metrics without
+        re-applying the operator — an O(n·k) norm instead of a full matvec
+        at every logging boundary. Solvers without one (SAP's block updates
+        never form a residual) return None and the model falls back to the
+        full evaluation.
+        """
+        return None

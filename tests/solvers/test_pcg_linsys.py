@@ -308,6 +308,81 @@ class TestPreconditionerReuse:
             )
 
 
+class TestRecurrenceMetrics:
+    """LinSys.solve(metrics=...): carried-residual logging + confirmation."""
+
+    def test_recurrence_converges_and_final_is_confirmed(self, key):
+        A, B = make_spd_system(key, 128, 2, jnp.float32)
+        reg = 1e-4
+        cfg = PCGConfig(
+            max_iters=80, rtol=1e-5,
+            precond_config=NystromConfig(rank=48, rho=reg),
+        )
+        W0 = jnp.zeros_like(B)
+        W_t, log_t = LinSys(A, B, reg=reg).solve(
+            cfg, W0, callback_freq=10, key=key, metrics="true"
+        )
+        W_r, log_r = LinSys(A, B, reg=reg).solve(
+            cfg, W0, callback_freq=10, key=key, metrics="recurrence"
+        )
+        # identical iterates: the metric source changes logging, not math
+        assert jnp.allclose(W_t, W_r, rtol=0, atol=0)
+        last = max(log_r.keys())
+        final = log_r[last]["metrics"]["internal_metrics"]
+        # the converged/final boundary is always re-evaluated with a true
+        # residual — never reported from the recurrence
+        assert "source" not in final
+        tm = log_t[max(log_t.keys())]["metrics"]["internal_metrics"]
+        assert jnp.allclose(final["rel_res"], tm["rel_res"], rtol=1e-3)
+        # intermediate boundaries carry the recurrence tag
+        mids = [i for i in log_r.keys() if 0 < i < last]
+        if mids:
+            assert (
+                log_r[mids[0]]["metrics"]["internal_metrics"].get("source")
+                == "recurrence"
+            )
+
+    def test_auto_keeps_true_metrics_on_small_problems(self, key):
+        A, B = make_spd_system(key, 96, 2, jnp.float32)
+        cfg = PCGConfig(
+            max_iters=30, rtol=1e-6,
+            precond_config=NystromConfig(rank=32, rho=1e-3),
+        )
+        _, log = LinSys(A, B, reg=1e-3).solve(
+            cfg, jnp.zeros_like(B), callback_freq=10, key=key
+        )
+        for entry in log.values():
+            assert "source" not in entry["metrics"]["internal_metrics"]
+
+    def test_bad_metrics_value(self, key):
+        A, B = make_spd_system(key, 64, 1, jnp.float32)
+        cfg = PCGConfig(max_iters=5, precond_config=NystromConfig(rank=16, rho=1e-3))
+        with pytest.raises(ValueError, match="metrics"):
+            LinSys(A, B, reg=1e-3).solve(
+                cfg, jnp.zeros_like(B), key=key, metrics="fast"
+            )
+
+    def test_sap_falls_back_to_true(self, key):
+        """SAP carries no residual: recurrence request degrades gracefully."""
+        from rlaopt_tpu.solvers import SAPConfig
+
+        A, B = make_spd_system(key, 64, 1, jnp.float32)
+        from rlaopt_tpu.linops import aslinop
+
+        row = lambda blk: aslinop(A[blk, :])  # noqa: E731
+        blk_o = lambda blk: aslinop(A[blk][:, blk])  # noqa: E731
+        cfg = SAPConfig(
+            max_iters=10, blk_sz=16, accel=False,
+            precond_config=NewtonConfig(rho=1e-3),
+        )
+        _, log = LinSys(
+            A, B, reg=1e-3, A_row_oracle=row, A_blk_oracle=blk_o
+        ).solve(cfg, jnp.zeros_like(B), callback_freq=5, key=key,
+                metrics="recurrence")
+        for entry in log.values():
+            assert "source" not in entry["metrics"]["internal_metrics"]
+
+
 class TestF64Refinement:
     @pytest.mark.parametrize("refine_device", ["cpu", "accel"])
     def test_kernel_krr_refinement_beats_f32_floor(self, key, refine_device):
