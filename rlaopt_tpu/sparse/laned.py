@@ -30,6 +30,19 @@ The conversion picks the smallest ``T`` that keeps the spill tiny, so the
 trade is explicit and bounded. Conversion is host-side numpy, once per
 operator, like the reference's eager format conversions
 (``rlaopt/sparse/sparse_tensor.py:58``).
+
+**Measured Mosaic limit (round 3, on-chip):** ``tpu.dynamic_gather``
+requires the gather SOURCE to be a single vreg along the gather
+dimension — "Not implemented: Multiple source vregs along gather
+dimension" at an (8192, 128) table. The x-table may therefore hold at
+most 8 sublanes: **n_cols ≤ 8·128 = 1024 on real TPU hardware**. At such
+column spaces the auto-densify dispatch already rides the MXU dense and
+wins outright, so this format is an EXPERIMENTAL study artifact: it
+documents exactly where the TPU's one vectorized-lookup primitive stops,
+and remains exercised through the CPU interpret path. Large-m
+unstructured SpMV on TPU stays at the per-element gather rate
+(~2 GB/s, see the round-3 gather study) — the measured reason the
+dispatch densifies whenever the matrix fits.
 """
 
 import functools
@@ -136,6 +149,14 @@ def laned_matvec(laned, x, n_rows: int, *, interpret: bool | None = None):
     if interpret is None:  # no Mosaic on the CPU backend — interpret there
         interpret = jax.default_backend() == "cpu"
     q, v = laned["q"], laned["v"]
+    if not interpret and x.shape[0] > 8 * LANE:
+        raise ValueError(
+            "laned_matvec: Mosaic's tpu.dynamic_gather reads from a single "
+            "vreg along the gather dimension, so the x-table is limited to "
+            f"8 sublanes — n_cols <= {8 * LANE} on TPU (got {x.shape[0]}). "
+            "Use the ELL path or the auto-densify dispatch "
+            "(sparse_aslinop(impl='auto')) for larger column spaces."
+        )
     total = q.shape[0]                        # n_rows * T
     T = total // n_rows
     m = x.shape[0]

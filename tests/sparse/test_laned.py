@@ -108,3 +108,15 @@ class TestMatvec:
 
         ref = 2.0 * float(np.sum(A.toarray() @ np.asarray(x)))
         assert np.isclose(float(chain(laned, x)), ref, rtol=1e-4)
+
+    def test_tpu_table_limit_guard(self):
+        """On-chip (non-interpret) use beyond one table vreg raises the
+        measured Mosaic limit (n_cols <= 1024) as a clear ValueError
+        instead of a Mosaic internal error (round-3 on-chip finding)."""
+        import pytest
+
+        A = _rand_csr(16, 2048, 0.01, seed=5)
+        laned = csr_to_laned(A.data, A.indptr, A.indices, A.shape[1])
+        x = jnp.ones(2048, dtype=jnp.float32)
+        with pytest.raises(ValueError, match="one vreg|n_cols"):
+            laned_matvec(laned, x, 16, interpret=False)
