@@ -133,6 +133,46 @@ class LinSys(Model):
                     "rel_res": abs_res / b_norms,
                     "source": "recurrence",
                 }
+        # Sampled-row metrics (``metrics="sampled"``): an unbiased estimator
+        # of the per-column residual norm from s uniformly sampled rows,
+        # E[(n/s)·Σ r_i²] = ‖r‖². A FULL residual at n=1M is itself
+        # exp-bound (n² kernel values ≈ 7 s of pure transcendentals per
+        # sweep, measured); s=4096 sampled rows cost ~s·n values (~30 ms)
+        # at ~1/√(2s) ≈ 1% relative standard error — plenty for trajectory
+        # logging and mask gating. Fresh rows each boundary (independent
+        # estimates); convergence claims confirmed on the full residual
+        # with a 0.7 margin to absorb estimator noise.
+        if not force_true and getattr(self, "_metrics_sampled", False):
+            import numpy as np
+
+            n = self._B.shape[0]
+            s = min(4096, n)
+            self._sample_round = getattr(self, "_sample_round", 0) + 1
+            rng = np.random.default_rng(
+                (0x5A17 << 32) ^ self._sample_round
+            )
+            idx = jnp.asarray(
+                np.sort(rng.choice(n, size=s, replace=False))
+            )
+            reg = jnp.asarray(self._reg, W.dtype)
+            if self._A_row_oracle is not None:
+                Kr = self._A_row_oracle(idx) @ W
+            else:  # dense operand (validated at solve time)
+                Kr = hmm(jnp.asarray(self._A)[idx], W)
+            r = self._B[idx] - (Kr + reg * W[idx])
+            scale = (n / s) ** 0.5
+            abs_est = jnp.linalg.norm(r, axis=0) * scale
+            b_norms = jnp.linalg.norm(self._B, axis=0)
+            atol, rtol = self._term_tol
+            if not bool(
+                jnp.all(abs_est * 0.7 <= jnp.maximum(rtol * b_norms, atol))
+            ):
+                return {
+                    "abs_res": abs_est,
+                    "rel_res": abs_est / b_norms,
+                    "source": "sampled",
+                    "rel_stderr_est": (2.0 * s) ** -0.5,
+                }
         # Compensated residual evaluation when the operator supports it
         # (f32 kernel operators): hi + lo carries the matvec's cross-tile
         # rounding errors, so the REPORTED residual is trustworthy below the
@@ -191,7 +231,12 @@ class LinSys(Model):
         solve stops; ``"auto"`` (default) picks recurrence when
         n ≥ 2**17 and the solver carries one, so small problems keep
         reference-exact logging and large ones skip ~one operator apply
-        per boundary.
+        per boundary. ``"sampled"`` (opt-in; needs an ``A_row_oracle`` or
+        a dense operand) estimates the residual norms from 4096 uniformly
+        sampled rows (unbiased, ~1% relative standard error, ``source``/
+        ``rel_stderr_est`` recorded in the metrics) — the right choice for
+        solvers that carry no residual (SAP) at scales where even one full
+        residual sweep is expensive; confirmation semantics as above.
 
         ``key`` seeds randomized components (preconditioner sketches, SAP
         block sampling); None draws from the package-global chain.
@@ -258,10 +303,17 @@ class LinSys(Model):
             log_freq=callback_freq, log_fn=log_fn, wandb_kwargs=wandb_kwargs
         )
 
-        if metrics not in ("auto", "true", "recurrence"):
+        if metrics not in ("auto", "true", "recurrence", "sampled"):
             raise ValueError(
                 "metrics must be one of 'auto', 'true', 'recurrence', "
-                f"but received {metrics!r}"
+                f"'sampled', but received {metrics!r}"
+            )
+        if metrics == "sampled" and self._A_row_oracle is None and isinstance(
+            self._A, LinOp
+        ):
+            raise ValueError(
+                "metrics='sampled' needs row access: an A_row_oracle or a "
+                "dense operand"
             )
 
         solver = _get_solver(
@@ -274,6 +326,8 @@ class LinSys(Model):
             metrics == "recurrence"
             or (metrics == "auto" and self._B.shape[0] >= (1 << 17))
         ) and solver.residual() is not None
+        self._metrics_sampled = metrics == "sampled"
+        self._sample_round = 0
 
         checkpointer = None
         if checkpoint_dir is not None:

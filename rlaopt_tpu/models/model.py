@@ -174,7 +174,7 @@ class Model(ABC):
         if (
             final is not None
             and final["metrics"]["internal_metrics"].get("source")
-            == "recurrence"
+            is not None
         ):
             final["metrics"]["internal_metrics"] = (
                 self._compute_internal_metrics(solver.W, force_true=True)

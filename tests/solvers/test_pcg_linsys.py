@@ -354,6 +354,71 @@ class TestRecurrenceMetrics:
         for entry in log.values():
             assert "source" not in entry["metrics"]["internal_metrics"]
 
+    def test_sampled_metrics_sap(self, key):
+        """metrics='sampled' on a SAP solve: intermediate boundaries carry
+        the sampled tag + stderr, the final entry is true-evaluated, and
+        the estimates track the true residual."""
+        from rlaopt_tpu.linops import aslinop
+        from rlaopt_tpu.solvers import SAPConfig
+
+        A, B = make_spd_system(key, 256, 2, jnp.float32)
+        row = lambda blk: aslinop(A[blk, :])  # noqa: E731
+        blk_o = lambda blk: aslinop(A[blk][:, blk])  # noqa: E731
+        sys_ = LinSys(A, B, reg=1e-3, A_row_oracle=row, A_blk_oracle=blk_o)
+        cfg = SAPConfig(
+            max_iters=40, blk_sz=32, accel=False, rtol=1e-6,
+            precond_config=NewtonConfig(rho=1e-3),
+        )
+        W, log = sys_.solve(
+            cfg, jnp.zeros_like(B), callback_freq=10, key=key,
+            metrics="sampled",
+        )
+        last = max(log.keys())
+        final = log[last]["metrics"]["internal_metrics"]
+        assert "source" not in final
+        mids = [i for i in log.keys() if 0 < i < last]
+        mid = log[mids[0]]["metrics"]["internal_metrics"]
+        assert mid.get("source") == "sampled"
+        assert 0 < mid["rel_stderr_est"] < 0.05  # s=n=256 → 1/sqrt(512)
+        # estimate within a few stderr of the truth (n=256 → s=n: exact)
+        true_m = sys_._compute_internal_metrics(W, force_true=True)
+        assert jnp.allclose(
+            final["rel_res"], true_m["rel_res"], rtol=1e-5
+        )
+
+    def test_sampled_metrics_estimator_accuracy(self, key):
+        """At n >> s the sampled estimate sits within a few stderr of the
+        full residual norm (direct unit test of the estimator)."""
+        n = 16384
+        ka, kb, kw = jax.random.split(key, 3)
+        G = jax.random.normal(ka, (n, 8), dtype=jnp.float32)
+        M = (G @ G.T) / 8 + 2.0 * jnp.eye(n, dtype=jnp.float32)
+        B = jax.random.normal(kb, (n, 2), dtype=jnp.float32)
+        W = jax.random.normal(kw, (n, 2), dtype=jnp.float32)
+        sys_ = LinSys(M, B, reg=0.1)
+        sys_._metrics_sampled = True
+        sys_._metrics_recurrence = False
+        sys_._term_tol = (0.0, 1e-30)  # thresholds never met → no confirm
+        est = sys_._compute_internal_metrics(W)
+        true = sys_._compute_internal_metrics(W, force_true=True)
+        assert est.get("source") == "sampled"
+        rel_err = jnp.abs(est["rel_res"] - true["rel_res"]) / true["rel_res"]
+        # stderr ≈ 1/sqrt(2·4096) ≈ 1.1% — allow 5 stderr
+        assert float(jnp.max(rel_err)) < 0.055, rel_err
+
+    def test_sampled_requires_row_access(self, key):
+        from rlaopt_tpu.linops import LinOp as _L
+
+        A, B = make_spd_system(key, 64, 1, jnp.float32)
+        op = _L((64, 64), matvec=lambda x: A @ x, dtype=jnp.float32)
+        cfg = PCGConfig(
+            max_iters=5, precond_config=NystromConfig(rank=16, rho=1e-3)
+        )
+        with pytest.raises(ValueError, match="sampled"):
+            LinSys(op, B, reg=1e-3).solve(
+                cfg, jnp.zeros_like(B), key=key, metrics="sampled"
+            )
+
     def test_bad_metrics_value(self, key):
         A, B = make_spd_system(key, 64, 1, jnp.float32)
         cfg = PCGConfig(max_iters=5, precond_config=NystromConfig(rank=16, rho=1e-3))
