@@ -44,6 +44,15 @@ None (default)  1.1e-7 (exact)     6      15.0        97%
 bf16x3's dropped lo·lo term is ~2⁻¹⁸ of |cross|, so its kernel-value error
 scales with the squared-distance magnitude: ~3e-6 on standardized data,
 ~5e-5 when |cross| reaches ~16 (measured on-chip, d=64 unit-variance).
+
+When ``round_up(passes·d, 128) < passes·round_up(d, 128)`` the multi-pass
+cross term is folded into ONE bf16 dot over concatenated operand splits
+(see the path-selection comment in :func:`kernel_matmat_pallas`) — at the
+KRR-typical d=28 this turns bf16x3's 3 lane-padded passes into one
+(measured 2.70 → 1.50 ms per 16k² sweep) and the exact tier's 6 into two
+(7.89 → 1.89 ms), at measured-identical accuracy. The RHS contraction
+loops only the REAL k columns on the VPU (V is sublane-padded to 8; at
+k=1 the padded loop was 8× the needed contraction work).
 """
 
 import functools
@@ -174,11 +183,14 @@ def _acc_update(acc_ref, k_tile, vt_ref, acc_mode: str):
 
     acc_mode:
 
-    * "vpu" — per-RHS-column broadcast-multiply + lane reduction on the VPU,
-      exact f32 (~6e-7 worst-entry over 16k columns). The MXU alternative
-      pads k to the 128-lane width: a k=8 HIGHEST contraction costs 6 passes
-      x 16x padding — measured 1.75 ms of the 8.9 ms exact-tier matvec at
-      n=m=16384, d=256. Used when k_p <= 16.
+    * ("vpu", k_real) — per-RHS-column broadcast-multiply + lane reduction
+      on the VPU, exact f32 (~6e-7 worst-entry over 16k columns), looped
+      over the k_real REAL columns only (V is sublane-padded to 8; at k=1
+      looping the padding costs 8× the contraction's VPU ops — measured
+      2.7 → 1.8 ms per 16k² bf16x3 sweep at d=28 from this alone). The MXU
+      alternative pads k to the 128-lane width: a k=8 HIGHEST contraction
+      costs 6 passes x 16x padding — measured 1.75 ms of the 8.9 ms
+      exact-tier matvec at n=m=16384, d=256. Used when k_p <= 16.
     * "highest" — 6-pass MXU; right choice once k_p is lane-sized (k ≳ 128,
       e.g. Nyström sketch matmats) where padding waste vanishes.
     * "split" — manual 3-pass bf16 hi/lo of both operands, ~2⁻¹⁸ relative.
@@ -186,8 +198,9 @@ def _acc_update(acc_ref, k_tile, vt_ref, acc_mode: str):
     """
     f32 = jnp.float32
     vt = vt_ref[:].astype(f32)
-    if acc_mode == "vpu":
-        for c in range(vt.shape[0]):
+    if isinstance(acc_mode, tuple):
+        k_real = acc_mode[1]
+        for c in range(k_real):
             col = jnp.sum(
                 k_tile * vt[c : c + 1, :], axis=1, keepdims=True
             )
@@ -571,7 +584,7 @@ def _laplace_matmat(Xs, Ys, V, tile_m, tile_n, interpret, compensated):
 
     body = functools.partial(
         _body_laplace, nj=nj, nb=nb, d_orig=d, compensated=compensated,
-        acc_mode="vpu" if k_p <= 16 else "highest",
+        acc_mode=("vpu", V.shape[1]) if k_p <= 16 else "highest",
     )
     o_spec = pl.BlockSpec((tile_m, k_p), lambda i, j, b: (i, 0))
     out_specs = [o_spec, o_spec] if compensated else o_spec
@@ -648,6 +661,18 @@ def _split_bf16(A):
     return hi, lo
 
 
+def _split_bf16_3(A):
+    """A = hi + mid + lo, all bf16 — captures the full f32 mantissa
+    (3 × 8 explicit bits ≥ 24). Same excess-precision barrier rationale as
+    :func:`_split_bf16`."""
+    f32 = jnp.float32
+    hi = lax.optimization_barrier(A.astype(jnp.bfloat16))
+    r1 = A - hi.astype(f32)
+    mid = lax.optimization_barrier(r1.astype(jnp.bfloat16))
+    lo = (r1 - mid.astype(f32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -697,18 +722,51 @@ def kernel_matmat_pallas(
         if cd != "bfloat16":
             raise ValueError(f"unsupported compute_dtype {compute_dtype!r}")
 
-    # Path selection: exact small-d VPU loop dodges 128-lane padding AND
-    # excess-precision demotion; Laplace routes to its dedicated feature-
-    # blocked VPU kernel (any d). A bf16x3 request takes the MXU path even
-    # at small d — the caller asked for speed, and the 3-pass 128-padded
-    # cross is ~1.4x faster than the exact VPU loop at d≈28 (the exact VPU
-    # path is the accuracy choice, cd=None).
-    direct = cd is None and d <= 32
+    # Path selection: Laplace routes to its dedicated feature-blocked VPU
+    # kernel (any d); compensated/tiny-d exact requests take the direct VPU
+    # feature loop (exact f32, dodges excess-precision demotion); everything
+    # else rides the MXU dot path, with the split-concat fold below choosing
+    # the cheapest legal pass structure per tier and d.
+    # Split-concat fold: a multi-pass cross term (bf16x3's 3 bf16 passes;
+    # the exact tier's HIGHEST = 6-term 3-way-split decomposition) is ONE
+    # bf16 dot of concatenated operand splits — bf16x3:
+    # [xh|xh|xl]·[yh;yl;yh] (depth 3d); exact: the 6 HIGHEST product terms
+    # x1y1+x1y2+x2y1+x1y3+x2y2+x3y1 of the 3-way splits (depth 6d).
+    # Whenever round_up(p·d, 128) < p·round_up(d, 128) — small/odd d where
+    # each separate pass pays lane padding — the fold cuts real MXU work
+    # (e.g. d=28 bf16x3: 3 padded passes → ONE; measured 2.70 → 1.50
+    # ms/16k² sweep) and moves the term summation into the MXU accumulator
+    # (no (tm, tn) VPU adds). At d ≡ 0 (mod 128) the flop count ties and
+    # the fold only adds operand traffic, so it is skipped. Accuracy is
+    # unchanged: the same product terms, f32-accumulated, in both forms.
+    concat3 = cd == "bf16x3" and _round_up(3 * d, 128) < 3 * _round_up(d, 128)
+    # The exact tier folds for d > 6 (measured: one 128-deep fold pass runs
+    # 1.5 ms/16k² sweep vs 2.7 ms for the direct VPU loop already at d=8;
+    # at tiny d the unrolled loop's ~3d ops/element win). Accuracy parity
+    # with the HIGHEST dot path was measured on-chip: 1.91e-6 vs 1.91e-6
+    # (k=8) / 7.3e-6 vs 7.6e-6 (k=1) against an f64 oracle at n=1024 —
+    # identical decomposition, identical error. The compensated path keeps
+    # the true-f32 bodies: it feeds certified residual evaluation, where
+    # the 6-term ~2⁻²⁴ truncation is not exact.
+    concat6 = (
+        cd is None
+        and not compensated
+        and d > 6
+        and _round_up(6 * d, 128) < 6 * _round_up(d, 128)
+    )
+    direct = cd is None and d <= 32 and not concat6
 
     k_p8 = _round_up(k, 8)
     if tile_m is None or tile_n is None:
-        d_for_budget = _round_up(d, 128)
-        tm_auto, tn_auto = select_tiles(n, m, d_for_budget, k_p8, kind, cd)
+        if concat3 or concat6:
+            # single bf16 operand stream of depth p·d
+            d_for_budget = _round_up((3 if concat3 else 6) * d, 128)
+            tm_auto, tn_auto = select_tiles(
+                n, m, d_for_budget, k_p8, kind, "bfloat16"
+            )
+        else:
+            d_for_budget = _round_up(d, 128)
+            tm_auto, tn_auto = select_tiles(n, m, d_for_budget, k_p8, kind, cd)
         tile_m = tile_m or tm_auto
         tile_n = tile_n or tn_auto
     if kind == "laplace":
@@ -738,10 +796,20 @@ def kernel_matmat_pallas(
         else:
             body = functools.partial(
                 _body_direct, kind=kind, nj=Yp.shape[0] // tile_n, d_orig=d,
-                acc_mode="vpu" if k_p8 <= 16 else "highest",
+                acc_mode=("vpu", k) if k_p8 <= 16 else "highest",
             )
     else:
         Xc, YcT, hx, hyT = _norms_and_operands(kind, Xs, Ys)
+        if concat3:
+            xh, xl = _split_bf16(Xc)
+            yh, yl = _split_bf16(YcT)
+            Xc = jnp.concatenate([xh, xh, xl], axis=1)
+            YcT = jnp.concatenate([yh, yl, yh], axis=0)
+        elif concat6:
+            x1, x2, x3 = _split_bf16_3(Xc)
+            y1, y2, y3 = _split_bf16_3(YcT)
+            Xc = jnp.concatenate([x1, x1, x2, x1, x2, x3], axis=1)
+            YcT = jnp.concatenate([y1, y2, y1, y3, y2, y1], axis=0)
         Xc = _pad_axis(_pad_axis(Xc, tile_m, 0), 128, 1)
         YcT = _pad_axis(_pad_axis(YcT, 128, 0), tile_n, 1)
         hx = _pad_axis(hx, tile_m, 0)  # (n_p, 1); zero rows → zero norms
@@ -752,11 +820,28 @@ def kernel_matmat_pallas(
             pl.BlockSpec((1, tile_n), lambda i, j: (0, j)),
         ]
         nj = YcT.shape[1] // tile_n
-        if cd == "bf16x3":
+        if concat3 or concat6:
+            inputs = [Xc, YcT]  # concatenated bf16 split arrangement
+            if k_p8 <= 16:
+                acc_mode = ("vpu", k)
+            else:
+                # tier-matched RHS contraction on the K tile (f32 either way)
+                acc_mode = "split" if concat3 else "highest"
+            if pipeline:
+                body = functools.partial(
+                    _body_pipe, kind=kind, nj=nj, acc_mode=acc_mode,
+                    cross_fn=_cross_bf16, n_in=2,
+                )
+                piped = True
+            else:
+                body = functools.partial(
+                    _body_bf16, kind=kind, nj=nj, acc_mode=acc_mode
+                )
+        elif cd == "bf16x3":
             xh, xl = _split_bf16(Xc)
             yh, yl = _split_bf16(YcT)
             inputs = [xh, xl, yh, yl]
-            acc_mode = "vpu" if k_p8 <= 16 else "split"
+            acc_mode = ("vpu", k) if k_p8 <= 16 else "split"
             if pipeline:
                 body = functools.partial(
                     _body_pipe, kind=kind, nj=nj, acc_mode=acc_mode,
@@ -769,7 +854,7 @@ def kernel_matmat_pallas(
                 )
         elif cd == "bfloat16":
             inputs = [Xc.astype(jnp.bfloat16), YcT.astype(jnp.bfloat16)]
-            acc_mode = "vpu" if k_p8 <= 16 else "fast"
+            acc_mode = ("vpu", k) if k_p8 <= 16 else "fast"
             if pipeline:
                 body = functools.partial(
                     _body_pipe, kind=kind, nj=nj, acc_mode=acc_mode,
@@ -785,7 +870,7 @@ def kernel_matmat_pallas(
             if compensated:
                 body = functools.partial(_body_exact_comp, kind=kind, nj=nj)
             else:
-                acc_mode = "vpu" if k_p8 <= 16 else "highest"
+                acc_mode = ("vpu", k) if k_p8 <= 16 else "highest"
                 if pipeline:
                     body = functools.partial(
                         _body_pipe, kind=kind, nj=nj, acc_mode=acc_mode,
@@ -812,7 +897,7 @@ def kernel_matmat_pallas(
     ]
     inputs = inputs + norm_inputs
 
-    if cd == "bfloat16":
+    if cd == "bfloat16" or concat3 or concat6:
         flops = 2 * n_p * m_p * (d_p + k_p)
     elif cd == "bf16x3":
         flops = 2 * n_p * m_p * (3 * d_p + k_p)
