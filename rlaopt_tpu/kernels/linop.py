@@ -49,18 +49,22 @@ class KernelLinOp(TwoSidedLinOp):
         ls = kernel_config.lengthscale_array(A1.dtype)
         scale = jnp.asarray(kernel_config.const_scaling, A1.dtype)
         data = {"X1": A1, "X2": A2, "ls": ls, "scale": scale}
+        # Object identity decided HERE (pre-trace): under jit the payload's
+        # X1/X2 become distinct tracers even when they are the same array,
+        # so the symmetric-Gram hint must be captured at construction.
+        symmetric = A1 is A2
 
         def mv(d, v):
             return kernel_matmat(
                 kind, d["X1"], d["X2"], v, d["ls"], d["scale"], impl=impl,
-                compute_dtype=compute_dtype,
+                compute_dtype=compute_dtype, symmetric=symmetric,
             )
 
         def rmv(d, v):
             # k symmetric in its arguments: Kᵀ = k(X2, X1)
             return kernel_matmat(
                 kind, d["X2"], d["X1"], v, d["ls"], d["scale"], impl=impl,
-                compute_dtype=compute_dtype,
+                compute_dtype=compute_dtype, symmetric=symmetric,
             )
 
         super().__init__(
