@@ -156,6 +156,73 @@ def make_vpu_peak(chain=2000):
     return f, float(n_r * n_c), chain
 
 
+def make_exp_peak(chain=2000):
+    """In-VMEM transcendental pipeline rate: the speed-of-light op for the
+    small-d Gram matvec, where the n·m exponentials dominate the counted
+    MXU work. The body is abs+exp+mul per element; XLA fuses the whole
+    chain into one kernel (reads the operand once), so the measurement is
+    compute-bound — unlike an exp over an HBM-resident array, which is
+    bandwidth-bound and under-reads the pipeline ~2.7× (the source of an
+    earlier round's too-low \"pure-exp peak\" figure). Counted as 1 exp per
+    element; the abs and mul ride along, so the figure slightly
+    UNDER-reports the raw exp rate.
+    """
+    a0 = jax.random.normal(jax.random.PRNGKey(9), (4096, 4096), jnp.float32)
+
+    @jax.jit
+    def f():
+        def body(_, a):
+            return jnp.exp(-jnp.abs(a)) * 1.0001
+
+        return jnp.sum(jax.lax.fori_loop(0, chain, body, a0))
+
+    return f, float(a0.size), chain
+
+
+def make_krr_matvec(tier, symmetric, d=28, n=1 << 17):
+    """North-star-shape Gram matvec: d=28, k=1 (the n=1M KRR PCG apply).
+
+    Reported as kernel values DELIVERED per second (n·m useful values per
+    sweep regardless of how many tiles were visited). The bound is the
+    measured exp pipeline rate (``exp_peak``): the general kernel cannot
+    exceed 1.0× it; the symmetric triangle kernel evaluates only ~half
+    the tiles, so delivering >1.0× the exp rate is direct evidence of the
+    symmetry win (its own ceiling is 2.0×).
+    """
+    from rlaopt_tpu.ops.kernel_pallas import (
+        kernel_matmat_pallas,
+        kernel_matvec_symmetric,
+    )
+
+    key = jax.random.PRNGKey(0)
+    X = jax.random.normal(key, (n, d), jnp.float32)
+    v0 = jax.random.normal(jax.random.fold_in(key, 2), (n,), jnp.float32)
+    ls = float(d) ** 0.5
+
+    def make(chain):
+        @jax.jit
+        def f():
+            def body(_, v):
+                if symmetric:
+                    out = kernel_matvec_symmetric(
+                        "rbf", X, v, ls, 1.0, compute_dtype=TIER_ARG[tier]
+                    )
+                else:
+                    out = kernel_matmat_pallas(
+                        "rbf", X, X, v, ls, 1.0, compute_dtype=TIER_ARG[tier]
+                    )
+                return out / jnp.linalg.norm(out)
+
+            v = jax.lax.fori_loop(0, chain, body, v0)
+            return jnp.sum(v)
+
+        # "flops" slot carries kernel VALUES per sweep (n·m); the report
+        # divides by the measured exp rate for the bound fraction.
+        return f, float(n) * float(n), chain
+
+    return make
+
+
 def make_kernel(tier, d, kind="rbf"):
     from rlaopt_tpu.ops.kernel_pallas import kernel_matmat_pallas
 
@@ -314,10 +381,19 @@ def med(xs):
 
 
 def main():
-    runs = {"peak": make_peak(), "vpu_peak": make_vpu_peak()}
+    runs = {
+        "peak": make_peak(),
+        "vpu_peak": make_vpu_peak(),
+        "exp_peak": make_exp_peak(),
+    }
     for d in DS:
         for tier in PASSES:
             runs[(tier, d)] = _size_chain(make_kernel(tier, d), 8)
+    for tier in ("exact", "bf16x3"):
+        for sym in (False, True):
+            runs[("krr", tier, sym)] = _size_chain(
+                make_krr_matvec(tier, sym), 4
+            )
     for kind in FAMILIES:
         runs[("family", kind)] = _size_chain(
             make_kernel("exact", D_HEADLINE, kind), 8
@@ -364,6 +440,18 @@ def main():
                 "roofline_fraction_strict": round(tf / roof_strict, 3),
             }
         shapes[f"d{d}"] = tiers
+
+    exp_peak = med(reps["exp_peak"])  # Texp/s (fused abs+exp+mul chain)
+    krr_shape = {}
+    for tier in ("exact", "bf16x3"):
+        for sym in (False, True):
+            tvals = med(reps[("krr", tier, sym)])  # Tvalues/s delivered
+            name = f"{tier}_{'symmetric' if sym else 'general'}"
+            krr_shape[name] = {
+                "kernel_values_per_s": round(tvals * 1e12),
+                "ms_per_16k2_sweep": round(16384.0**2 / (tvals * 1e12) * 1e3, 3),
+                "vs_exp_pipeline": round(tvals / exp_peak, 3),
+            }
 
     vpu_peak = med(reps["vpu_peak"])  # Tpairs/s (sub+abs+add triples)
     families = {}
@@ -419,7 +507,9 @@ def main():
                 "headline_shape": {"n": N, "m": M, "d": D_HEADLINE, "k": K},
                 "peak_bf16_tflops": round(peak, 2),
                 "vpu_peak_tpairs_per_s": round(vpu_peak, 3),
+                "exp_pipeline_texp_per_s": round(exp_peak, 3),
                 "shapes": shapes,
+                "krr_shape_d28_k1": krr_shape,
                 "kernel_families_exact_d512": families,
                 "sparse_csr_matvec": sparse,
                 "sparse_tallskinny_normal_eq_sweep": sparse_ts,

@@ -1033,13 +1033,15 @@ def kernel_symmetric_supported(
     plain accumulation, concat depth ≤ 512 (so the fixed T=512 tiles fit
     VMEM alongside the resident mirror window), and the mirror window
     itself fits."""
-    passes = {None: 6, "bf16x3": 3, "bfloat16": 1}.get(compute_dtype)
-    if passes is None or k != 1 or kind == "laplace" or compensated:
+    if k != 1 or compensated:
         return False
-    return (
-        _round_up(passes * d, 128) <= 512
-        and 4 * _round_up(n, 512) <= _SYM_OUT2_BUDGET_BYTES
-    )
+    if 4 * _round_up(n, 512) > _SYM_OUT2_BUDGET_BYTES:
+        return False
+    if kind == "laplace":
+        # feature-blocked VPU kernel: any d, exp-tier-independent
+        return True
+    passes = {None: 6, "bf16x3": 3, "bfloat16": 1}.get(compute_dtype)
+    return passes is not None and _round_up(passes * d, 128) <= 512
 
 
 @functools.partial(
@@ -1075,6 +1077,12 @@ def kernel_matvec_symmetric(
     n, d = X.shape
 
     Xs = scale_inputs(X, lengthscale)
+    if kind == "laplace":
+        out = _laplace_matvec_symmetric(Xs, v, tile, interpret)
+        out = (out[:n] * jnp.asarray(const_scaling, jnp.float32)).astype(
+            v.dtype
+        )
+        return out if squeeze else out[:, None]
     cd = compute_dtype
     if cd is not None and cd not in ("bf16x3", "bfloat16"):
         cd = str(jnp.dtype(cd))
@@ -1149,3 +1157,121 @@ def kernel_matvec_symmetric(
     out = out1[:, 0] + out2.reshape(n_p)
     out = (out[:n] * jnp.asarray(const_scaling, jnp.float32)).astype(v.dtype)
     return out if squeeze else out[:, None]
+
+
+def _body_sym_laplace(
+    x_ref, y_ref, vj_ref, vi_ref, o1_ref, o2_ref, acc_ref, l1_ref,
+    *, nt, ns, nt_even, nb,
+):
+    """Symmetric Laplace body: circulant pairing (as ``_body_sym``) with
+    the L1 feature-block axis as a third grid dimension. The VPU feature
+    loop dominates, so no software pipelining is needed; the active /
+    mirror gates are applied directly at the per-tile epilogue."""
+    i = pl.program_id(0)
+    s = pl.program_id(1)
+    b = pl.program_id(2)
+    f32 = jnp.float32
+
+    @pl.when(jnp.logical_and(jnp.logical_and(i == 0, s == 0), b == 0))
+    def _():
+        o2_ref[:] = jnp.zeros_like(o2_ref)
+
+    @pl.when(jnp.logical_and(s == 0, b == 0))
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(b == 0)
+    def _():
+        l1_ref[:] = jnp.zeros_like(l1_ref)
+
+    xt = x_ref[0] if x_ref.ndim == 3 else x_ref[:]
+    l1 = l1_ref[:]
+    for f in range(xt.shape[1]):
+        l1 = l1 + jnp.abs(xt[:, f : f + 1] - y_ref[f : f + 1, :])
+    l1_ref[:] = l1
+
+    @pl.when(b == nb - 1)
+    def _():
+        kv = jnp.exp(-l1_ref[:])
+        if nt_even:
+            active = jnp.logical_or(s < ns - 1, i < nt // 2).astype(f32)
+        else:
+            active = jnp.float32(1.0)
+        mirror_ok = active * (s > 0).astype(f32)
+        acc_ref[:] += jnp.sum(
+            kv * (vj_ref[:].astype(f32) * active), axis=1, keepdims=True
+        )
+        j = lax.rem(i + s, jnp.int32(nt))
+        o2_ref[pl.ds(j, 1), :] += jnp.sum(
+            kv * (vi_ref[:].astype(f32) * mirror_ok), axis=0, keepdims=True
+        )
+
+    @pl.when(jnp.logical_and(s == ns - 1, b == nb - 1))
+    def _():
+        o1_ref[:] = acc_ref[:].astype(o1_ref.dtype)
+
+
+def _laplace_matvec_symmetric(Xs, v, tile, interpret):
+    """Triangle variant of :func:`_laplace_matmat` (k=1, X1 is X2).
+
+    Measured on-chip at n=65536, d=50: 108.7 ms vs 144.3 ms general
+    (1.33x; the unpipelined per-tile epilogue eats part of the 2x tile
+    saving), parity 1.6e-7 vs a host f64 oracle.
+    """
+    n, d = Xs.shape
+    T = tile
+    fb = _laplace_feature_block(d)
+    Xp = _pad_axis(_pad_axis(Xs, T, 0), fb, 1)
+    vp = _pad_axis(v.astype(jnp.float32)[:, None], T, 0)  # (n_p, 1)
+    n_p, d_p = Xp.shape
+    nt = n_p // T
+    nb = d_p // fb
+    nt_even = nt % 2 == 0
+    ns = nt // 2 + 1 if nt_even else (nt + 1) // 2
+    if nb == 1:
+        x_in = Xp
+        x_spec = pl.BlockSpec((T, d_p), lambda i, s, b: (i, 0))
+    else:
+        x_in = jnp.transpose(Xp.reshape(n_p, nb, fb), (1, 0, 2))
+        x_spec = pl.BlockSpec((1, T, fb), lambda i, s, b: (b, i, 0))
+
+    out1, out2 = pl.pallas_call(
+        functools.partial(
+            _body_sym_laplace, nt=nt, ns=ns, nt_even=nt_even, nb=nb
+        ),
+        grid=(nt, ns, nb),
+        in_specs=[
+            x_spec,
+            pl.BlockSpec((fb, T), lambda i, s, b: (b, (i + s) % nt)),
+            pl.BlockSpec((1, T), lambda i, s, b: (0, (i + s) % nt)),
+            pl.BlockSpec((T, 1), lambda i, s, b: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((T, 1), lambda i, s, b: (i, 0)),
+            pl.BlockSpec((nt, T), lambda i, s, b: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_p, 1), jnp.float32),
+            jax.ShapeDtypeStruct((nt, T), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((T, 1), jnp.float32),
+            pltpu.VMEM((T, T), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            # At mid n (~8k) every operand fits VMEM individually, so XLA
+            # hoists them (plus the lane-padded (n,1) result, 128x its real
+            # size) into the kernel's scoped allocation and trips the 16 MB
+            # default; the hoisting is good (no HBM streaming), so raise
+            # the cap instead of fighting it. v5e VMEM is 128 MB.
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * n_p * n_p * d_p // 2,
+            bytes_accessed=(n_p * d_p + 6 * n_p) * 4,
+            transcendentals=n_p * n_p // 2,
+        ),
+        interpret=interpret,
+    )(x_in, Xp.T, vp.T, vp)
+    return out1[:, 0] + out2.reshape(n_p)

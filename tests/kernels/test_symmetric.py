@@ -29,6 +29,8 @@ CASES = [
     (1024, 256, "matern12", "bf16x3"),  # nt=4 even, exact fit
     (1200, 256, "matern32", None),  # nt=5 odd
     (200, 256, "matern52", "bfloat16"),  # nt=1 (diagonal only)
+    (700, 256, "laplace", None),  # VPU feature-loop body, nt=3 odd
+    (1024, 256, "laplace", None),  # nt=4 even
 ]
 
 
@@ -65,10 +67,11 @@ def test_supported_predicate():
     # eligible: k=1, dot kernel, small d, n within the mirror-window budget
     assert kernel_symmetric_supported(10**6, 28, 1, "rbf", "bf16x3")
     assert kernel_symmetric_supported(10**6, 28, 1, "rbf", None)
-    # multi-column RHS, laplace, compensated, huge depth, huge n: all fall
-    # back to the general kernel
+    # laplace: feature-blocked body, any d
+    assert kernel_symmetric_supported(10**6, 512, 1, "laplace", None)
+    # multi-column RHS, compensated, huge depth, huge n: all fall back to
+    # the general kernel
     assert not kernel_symmetric_supported(10**6, 28, 2, "rbf", "bf16x3")
-    assert not kernel_symmetric_supported(10**6, 28, 1, "laplace", None)
     assert not kernel_symmetric_supported(
         10**6, 28, 1, "rbf", None, compensated=True
     )
