@@ -128,32 +128,73 @@ def make_peak(chain=300):
     return f, 2.0 * N_PEAK**3, chain
 
 
-def make_vpu_peak(chain=2000):
+def make_vpu_peak(chain=1200):
     """VPU abs-diff-accumulate peak: the speed-of-light op for the Laplace
     (L1-distance) kernel family. |x−y| has no inner-product expansion, so
     no MXU formulation exists — any Laplace Gram kernel is bound by how
-    fast the VPU streams `acc += |u − v|`. This probe measures that rate
-    (pairs/s) on resident (8·512, 512) f32 tiles; the Laplace roofline is
-    then pair_rate × 2(d+k)/d counted-FLOPs/s (2 counted flops per pair·dim
-    at d dims, credited with the contraction's k like the MXU tiers).
+    fast the VPU streams `acc += |x_col − y_row|` broadcasts.
+
+    Measured with a VMEM-resident Pallas body that mirrors the Laplace
+    engine's exact op mix and tile shape (512×1024 tiles, 64-feature
+    blocks): a column of X minus a row of Y, abs, accumulate — all operands
+    resident, no HBM traffic in the hot loop. An earlier XLA fused-loop
+    probe re-read its (4096,512) operands from HBM every iteration and
+    measured 0.16 Tpairs/s where this probe measures ~1.64 — a 10×
+    under-read that made the Laplace tier report an impossible 11.8×
+    "roofline fraction" (sweep artifact: ``benchmarks/VPU_PROBE_r3.json``).
+    The Laplace roofline is pair_rate × 2(d+k)/d counted-FLOPs/s (2 counted
+    flops per pair·dim at d dims, credited with the contraction's k like
+    the MXU tiers).
     """
-    n_r, n_c = 4096, 512
-    u = jax.random.normal(jax.random.PRNGKey(7), (n_r, n_c), jnp.float32)
-    v = jax.random.normal(jax.random.PRNGKey(8), (n_r, n_c), jnp.float32)
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    tile_m, tile_n, fb, nb = 512, 1024, 64, 16
+
+    def body(x_ref, y_ref, o_ref, l1_ref):
+        b = pl.program_id(0)
+
+        @pl.when(b == 0)
+        def _():
+            l1_ref[:] = jnp.zeros_like(l1_ref)
+
+        xt, yt = x_ref[0], y_ref[0]
+        l1 = l1_ref[:]
+        for f in range(fb):
+            l1 = l1 + jnp.abs(xt[:, f : f + 1] - yt[f : f + 1, :])
+        l1_ref[:] = l1
+
+        @pl.when(b == nb - 1)
+        def _():
+            o_ref[:] = l1_ref[:]
+
+    kx = jax.random.PRNGKey(7)
+    X = jax.random.normal(kx, (nb, tile_m, fb), jnp.float32)
+    Y = jax.random.normal(jax.random.fold_in(kx, 1), (nb, fb, tile_n), jnp.float32)
+    call = pl.pallas_call(
+        body,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, tile_m, fb), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, fb, tile_n), lambda b: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile_m, tile_n), lambda b: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((tile_m, tile_n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tile_m, tile_n), jnp.float32)],
+    )
 
     @jax.jit
     def f():
-        def body(_, acc):
-            # sub + abs + add per element — exactly the kernel's inner
-            # per-pair-per-dim op mix; the dependency on acc keeps the
-            # chain serialized. Values stay f32-bounded (linear drift).
-            return jnp.abs(u - acc) + v
+        def loop(_, carry):
+            # the (cheap) X rescale carries a data dependency between chain
+            # elements so the fori_loop cannot be batched or elided
+            out = call(X * (1.0 + 0.0 * carry), Y)
+            return jnp.sum(out)
 
-        z = jax.lax.fori_loop(0, chain, body, v, unroll=8)
-        return jnp.sum(z)
+        return jax.lax.fori_loop(0, chain, loop, 0.0)
 
-    # one "pair" (sub+abs+add) per element per iteration
-    return f, float(n_r * n_c), chain
+    # one "pair" (broadcast sub + abs + add) per tile element per feature
+    return f, float(tile_m * tile_n * fb * nb), chain
 
 
 def make_exp_peak(chain=2000):
