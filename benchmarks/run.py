@@ -452,6 +452,15 @@ def config7_askotch_10m_reference_scale(max_iters=300):
 
     callback_freq=5 keeps each compiled SAP chunk (~5 x ~7 s row-oracle
     sweeps) under the runtime's ~80 s execution watchdog.
+
+    A quirk of the reference's own hyperparameters, verified numerically
+    at small n (accel vs plain iterates agree to f32 noise, 1.2e-6 after
+    60 iterations): mu·nu = 1e-2·100 = 1 makes gamma = 1/sqrt(mu·nu) = 1,
+    and the acceleration recurrence then keeps V = Y = W invariant from
+    W0 (V' = beta·V + (1-beta)·Y - s·gamma·dir = W' whenever V = Y = W,
+    and Y' = alpha·V' + (1-alpha)·W' = W'), i.e. the Nesterov coupling is
+    exactly inert and the method IS plain SAP. The headline experiment is
+    run as configured regardless — the point is scale, not acceleration.
     """
     from rlaopt_tpu.kernels import KernelConfig, RBFLinOp
     from rlaopt_tpu.models import LinSys

@@ -52,6 +52,25 @@ class SAPAccelConfig:
             raise ValueError("mu must be less than or equal to nu")
         if self.mu * self.nu > 1:
             raise ValueError("mu * nu must be less than or equal to 1")
+        if self.mu * self.nu == 1:
+            import warnings
+
+            # At the boundary gamma = 1/sqrt(mu·nu) = 1, and the coupled
+            # recurrence keeps V = Y = W invariant from any common start:
+            # V' = beta·V + (1-beta)·Y - s·gamma·dir equals
+            # W' = Y - s·dir whenever V = Y = W, and then
+            # Y' = alpha·V' + (1-alpha)·W' = W'. Verified numerically
+            # (accel and plain iterates agree to f32 rounding). The
+            # reference accepts these values without comment
+            # (rlaopt/solvers/configs.py:88-94) — e.g. its own n=10M
+            # experiment (mu=1e-2, nu=100) runs effectively unaccelerated.
+            warnings.warn(
+                "mu * nu == 1 makes the SAP acceleration recurrence exactly "
+                "inert (gamma=1 keeps V=Y=W): the method reduces to plain "
+                "SAP. Pick mu * nu < 1 for genuine acceleration.",
+                UserWarning,
+                stacklevel=2,
+            )
 
 
 def _is_sap_accel_config(param: Any, param_name: str):

@@ -113,6 +113,31 @@ class TestSAP:
         with pytest.raises(ValueError):
             SAPConfig(max_iters=10, blk_sz=8, accel=True)  # missing accel cfg
 
+    def test_mu_nu_boundary_warns_and_is_inert(self, krr_problem, key):
+        """mu*nu == 1 is a degenerate point: gamma = 1 keeps V = Y = W
+        invariant, so the accelerated recurrence IS plain SAP (the
+        reference's own n=10M experiment runs there, mu=1e-2 nu=100)."""
+        X, K, B, reg, _ = krr_problem
+        row, blk = dense_oracles(K)
+        with pytest.warns(UserWarning, match="inert"):
+            accel_cfg = SAPAccelConfig(mu=0.01, nu=100.0)
+        Ws = {}
+        for accel in (True, False):
+            sys_ = LinSys(K, B, reg=reg, A_row_oracle=row, A_blk_oracle=blk)
+            cfg = SAPConfig(
+                max_iters=40, rtol=1e-8, blk_sz=16,
+                precond_config=NystromConfig(rank=16, rho=reg),
+                accel=accel, accel_config=accel_cfg if accel else None,
+            )
+            W, _ = sys_.solve(
+                cfg, jnp.zeros_like(B), callback_freq=20, key=key
+            )
+            Ws[accel] = W
+        diff = float(
+            jnp.linalg.norm(Ws[True] - Ws[False]) / jnp.linalg.norm(Ws[False])
+        )
+        assert diff < 1e-10  # f64 on CPU: identical up to rounding
+
 
 class TestBlkDense:
     """Per-iteration block-tile materialization (SAPConfig.blk_dense)."""
