@@ -26,6 +26,11 @@ from ..utils.logger import Logger
 
 __all__ = ["LinSys"]
 
+# Kernel-value budget for ONE device call of a true-residual sweep: past
+# this the evaluation is row-chunked so no single execution approaches the
+# runtime's ~80-90 s watchdog (2e12 values ≈ 5-15 s on a v5e).
+_TRUE_RESID_CHUNK_VALUES = 2e12
+
 
 @partial(jax.jit, static_argnames=())
 def _residuals(A_applied_W, B, reg, W):
@@ -173,6 +178,40 @@ class LinSys(Model):
                     "source": "sampled",
                     "rel_stderr_est": (2.0 * s) ** -0.5,
                 }
+        # Watchdog-safe chunking for the TRUE residual at extreme scale: a
+        # full kernel-operator apply is ONE device execution streaming n·m
+        # kernel values, and the runtime kills executions past ~80-90 s —
+        # at n=10M that is 1e14 values ≈ minutes of transcendentals (the
+        # reference-scale config 7). When a row oracle exists and the sweep
+        # exceeds ~2e12 values, evaluate the residual in row blocks (each
+        # its own device call, compensated when available) and combine the
+        # per-column squared norms exactly.
+        n_rows = self._B.shape[0]
+        m_cols = self._A.shape[1]
+        if (
+            self._A_row_oracle is not None
+            and float(n_rows) * float(m_cols) > _TRUE_RESID_CHUNK_VALUES
+        ):
+            chunk = max(
+                1, int(_TRUE_RESID_CHUNK_VALUES / float(m_cols))
+            )
+            reg = jnp.asarray(self._reg, W.dtype)
+            sq = jnp.zeros((self._B.shape[1],), W.dtype)
+            for s in range(0, n_rows, chunk):
+                rows = jnp.arange(s, min(s + chunk, n_rows))
+                op = self._A_row_oracle(rows)
+                if W.dtype == jnp.float32 and hasattr(
+                    op, "matmat_compensated"
+                ):
+                    hi, lo = op.matmat_compensated(W)
+                    Rb = (self._B[rows] - reg * W[rows] - hi) - lo
+                else:
+                    Rb = self._B[rows] - (op @ W + reg * W[rows])
+                sq = sq + jnp.sum(Rb.astype(W.dtype) ** 2, axis=0)
+                del Rb
+            abs_res = jnp.sqrt(sq)
+            rel_res = abs_res / jnp.linalg.norm(self._B, axis=0)
+            return {"abs_res": abs_res, "rel_res": rel_res}
         # Compensated residual evaluation when the operator supports it
         # (f32 kernel operators): hi + lo carries the matvec's cross-tile
         # rounding errors, so the REPORTED residual is trustworthy below the

@@ -800,18 +800,36 @@ def kernel_matmat_pallas(
             )
     else:
         Xc, YcT, hx, hyT = _norms_and_operands(kind, Xs, Ys)
-        if concat3:
-            xh, xl = _split_bf16(Xc)
-            yh, yl = _split_bf16(YcT)
-            Xc = jnp.concatenate([xh, xh, xl], axis=1)
-            YcT = jnp.concatenate([yh, yl, yh], axis=0)
-        elif concat6:
-            x1, x2, x3 = _split_bf16_3(Xc)
-            y1, y2, y3 = _split_bf16_3(YcT)
-            Xc = jnp.concatenate([x1, x1, x2, x1, x2, x3], axis=1)
-            YcT = jnp.concatenate([y1, y2, y1, y3, y2, y1], axis=0)
-        Xc = _pad_axis(_pad_axis(Xc, tile_m, 0), 128, 1)
-        YcT = _pad_axis(_pad_axis(YcT, 128, 0), tile_n, 1)
+        if concat3 or concat6:
+            # Pad the POINT axes first (cheap: f32, d features wide) and
+            # fold the 128-alignment of the concatenated depth INTO the
+            # concatenate as a zero part, so the folded operand is
+            # materialized ONCE at its final padded shape. The previous
+            # pad-after-concat kept a second full-size copy of the folded
+            # Y-side operand alive — at n=10M (config 7) that is 2×4.8 GB
+            # of HLO temps and an HBM OOM by itself.
+            Xc = _pad_axis(Xc, tile_m, 0)
+            YcT = _pad_axis(YcT, tile_n, 1)
+            if concat3:
+                xh, xl = _split_bf16(Xc)
+                yh, yl = _split_bf16(YcT)
+                xparts, yparts = [xh, xh, xl], [yh, yl, yh]
+            else:
+                x1, x2, x3 = _split_bf16_3(Xc)
+                y1, y2, y3 = _split_bf16_3(YcT)
+                xparts = [x1, x1, x2, x1, x2, x3]
+                yparts = [y1, y2, y1, y3, y2, y1]
+            depth = sum(p.shape[1] for p in xparts)
+            pad_f = _round_up(depth, 128) - depth
+            if pad_f:
+                bf = xparts[0].dtype
+                xparts.append(jnp.zeros((Xc.shape[0], pad_f), bf))
+                yparts.append(jnp.zeros((pad_f, YcT.shape[1]), bf))
+            Xc = jnp.concatenate(xparts, axis=1)
+            YcT = jnp.concatenate(yparts, axis=0)
+        else:
+            Xc = _pad_axis(_pad_axis(Xc, tile_m, 0), 128, 1)
+            YcT = _pad_axis(_pad_axis(YcT, 128, 0), tile_n, 1)
         hx = _pad_axis(hx, tile_m, 0)  # (n_p, 1); zero rows → zero norms
         hyT = _pad_axis(hyT, tile_n, 1)  # (1, m_p)
         norm_inputs = [hx, hyT]

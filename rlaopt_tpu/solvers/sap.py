@@ -210,11 +210,15 @@ class SAP(Solver):
         )
         return 1.0 / max_eig
 
-    def _step_fn(self, state: SAPState, mask, blk_mm, row_mm, blk=None) -> SAPState:
+    def _step_fn(
+        self, state: SAPState, mask, blk_mm, row_mm, blk=None,
+        blk_dense_fn=None, B=None,
+    ) -> SAPState:
         dtype = state.W.dtype
         n = self.system.A.shape[0]
         reg = jnp.asarray(self.system.reg, dtype)
-        B = self.system.B
+        if B is None:  # closure path: B baked into the program (small n)
+            B = self.system.B
         # k_blk is burned even when blk arrives precomputed (host sampling)
         # so the k_prec/k_pow streams are mode-independent.
         key, k_blk, k_prec, k_pow = jax.random.split(state.key, 4)
@@ -227,10 +231,10 @@ class SAP(Solver):
             else:
                 blk = jax.random.choice(k_blk, n, (self.blk_sz,), replace=False)
         K_blk = None
-        if self._blk_dense_fn is not None:
+        if blk_dense_fn is not None:
             # One tile evaluation; the sketch + every power iteration below
             # become dense matmuls on the resident block.
-            K_blk = self._blk_dense_fn(blk)
+            K_blk = blk_dense_fn(blk)
 
             def blk_mm(b, Z, _K=K_blk):  # noqa: ARG005 — b fixed to blk
                 return _K @ Z
@@ -272,21 +276,33 @@ class SAP(Solver):
         # mesh-sharded operator, pass its payload as a jit ARGUMENT and
         # rebind inside the trace (closing over arrays spanning
         # non-addressable devices is illegal under jax.distributed; see
-        # pcg.py). Custom user oracle callables keep the closure path.
+        # pcg.py). Pytree operators (KernelLinOp) whose oracles are their
+        # own bound methods travel through jit as an operand pytree for the
+        # same reason PCG's `_pass_A` path exists: closing over the payload
+        # bakes it into the compiled program as a CONSTANT, and at n=10M
+        # the 2.4 GB constant upload breaks the remote-compile tunnel
+        # (measured: config 7 died with a broken pipe mid-compile). Custom
+        # user oracle callables keep the closure path.
         from ..linops.sharded import ShardedLinOp
 
+        from .pcg import _is_pytree_operand
+
         A = self.system.A
-        self._pass_data = (
-            isinstance(A, ShardedLinOp)
-            and getattr(self.system.A_row_oracle, "__self__", None) is A
+        bound_to_A = (
+            getattr(self.system.A_row_oracle, "__self__", None) is A
             and getattr(self.system.A_blk_oracle, "__self__", None) is A
         )
+        self._pass_data = isinstance(A, ShardedLinOp) and bound_to_A
+        self._pass_A = (
+            not self._pass_data and bound_to_A and _is_pytree_operand(A)
+        )
         host = self._host_sampling
-        if self._pass_data:
+        use_bd = self._blk_dense_fn is not None
+        if self._pass_data or self._pass_A:
 
             @partial(jax.jit, static_argnames=("n_steps",))
-            def chunk(A_data, state, mask, n_steps, blks=None):
-                A_loc = A._with_data(A_data)
+            def chunk(A_arg, B, state, mask, n_steps, blks=None):
+                A_loc = A._with_data(A_arg) if self._pass_data else A_arg
 
                 def blk_mm(blk, X):
                     return A_loc.blk_oracle(blk) @ X
@@ -294,8 +310,16 @@ class SAP(Solver):
                 def row_mm(blk, X):
                     return A_loc.row_oracle(blk) @ X
 
+                bd = getattr(A_loc, "blk_dense", None) if use_bd else None
+
                 def body(s, blk):
-                    return self._step_fn(s, mask, blk_mm, row_mm, blk=blk), None
+                    return (
+                        self._step_fn(
+                            s, mask, blk_mm, row_mm, blk=blk,
+                            blk_dense_fn=bd, B=B,
+                        ),
+                        None,
+                    )
 
                 state, _ = jax.lax.scan(
                     body, state, blks, length=None if host else n_steps
@@ -310,7 +334,7 @@ class SAP(Solver):
                 return (
                     self._step_fn(
                         s, mask, self._default_blk_mm, self._default_row_mm,
-                        blk=blk,
+                        blk=blk, blk_dense_fn=self._blk_dense_fn,
                     ),
                     None,
                 )
@@ -353,8 +377,13 @@ class SAP(Solver):
         )
         if self._pass_data:
             self.state = self._chunk_fn(
-                self.system.A._data, self.state, self.system.mask, n_steps,
-                blks=blks,
+                self.system.A._data, self.system.B, self.state,
+                self.system.mask, n_steps, blks=blks,
+            )
+        elif self._pass_A:
+            self.state = self._chunk_fn(
+                self.system.A, self.system.B, self.state,
+                self.system.mask, n_steps, blks=blks,
             )
         else:
             self.state = self._chunk_fn(

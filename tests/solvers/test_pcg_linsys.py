@@ -406,6 +406,37 @@ class TestRecurrenceMetrics:
         # stderr ≈ 1/sqrt(2·4096) ≈ 1.1% — allow 5 stderr
         assert float(jnp.max(rel_err)) < 0.055, rel_err
 
+    def test_true_residual_chunked_matches_single_call(self, key, monkeypatch):
+        """Past the per-call kernel-value budget, the true residual is
+        evaluated in row blocks (watchdog safety at reference scale —
+        config 7's n=10M final confirmation is 1e14 values). The chunked
+        result must match the single-call evaluation to rounding."""
+        import rlaopt_tpu.models.linsys as linsys_mod
+        from rlaopt_tpu.kernels import KernelConfig, RBFLinOp
+
+        n, d, k = 512, 5, 2
+        ka, kb, kw = jax.random.split(key, 3)
+        X = jax.random.normal(ka, (n, d), dtype=jnp.float32)
+        A = RBFLinOp(X, X, KernelConfig(lengthscale=2.0))
+        B = jax.random.normal(kb, (n, k), dtype=jnp.float32)
+        W = jax.random.normal(kw, (n, k), dtype=jnp.float32)
+        sys_ = LinSys(
+            A, B, reg=0.1, A_row_oracle=A.row_oracle,
+            A_blk_oracle=A.blk_oracle,
+        )
+        single = sys_._compute_internal_metrics(W, force_true=True)
+        # force the chunked path: budget of 100·n values → ~6 row blocks
+        monkeypatch.setattr(
+            linsys_mod, "_TRUE_RESID_CHUNK_VALUES", 100.0 * n
+        )
+        chunked = sys_._compute_internal_metrics(W, force_true=True)
+        assert jnp.allclose(
+            chunked["abs_res"], single["abs_res"], rtol=1e-5
+        ), (chunked, single)
+        assert jnp.allclose(
+            chunked["rel_res"], single["rel_res"], rtol=1e-5
+        )
+
     def test_sampled_requires_row_access(self, key):
         from rlaopt_tpu.linops import LinOp as _L
 

@@ -138,6 +138,38 @@ class TestSAP:
         )
         assert diff < 1e-10  # f64 on CPU: identical up to rounding
 
+    def test_kernel_payload_travels_as_jit_argument(self, krr_problem, key):
+        """A KernelLinOp whose oracles are its own bound methods is passed
+        through the chunk jit as an operand pytree (`_pass_A`), not baked
+        into the program as constants — at n=10M the 2.4 GB closure
+        constant broke the remote-compile tunnel (config 7). Iterates must
+        match the closure path to f64 rounding (constant-folding may
+        reorder a few flops; wrapping the same oracles in lambdas disables
+        the rebind)."""
+        from rlaopt_tpu.solvers.sap import SAP
+
+        X, K, B, reg, _ = krr_problem
+        A = RBFLinOp(X, X, KernelConfig(lengthscale=1.0))
+        Ws = {}
+        for wrap in (False, True):
+            row = (lambda b: A.row_oracle(b)) if wrap else A.row_oracle
+            blk = (lambda b: A.blk_oracle(b)) if wrap else A.blk_oracle
+            sys_ = LinSys(A, B, reg=reg, A_row_oracle=row, A_blk_oracle=blk)
+            solver = SAP(
+                sys_, jnp.zeros_like(B),
+                precond_config=NystromConfig(rank=16, rho=reg),
+                blk_sz=16, accel=False, accel_config=None, power_iters=10,
+                key=key,
+            )
+            assert solver._pass_A is (not wrap)
+            for _ in range(25):
+                solver._step()
+            Ws[wrap] = solver.W
+        rel = float(
+            jnp.linalg.norm(Ws[True] - Ws[False]) / jnp.linalg.norm(Ws[False])
+        )
+        assert rel < 1e-12
+
 
 class TestBlkDense:
     """Per-iteration block-tile materialization (SAPConfig.blk_dense)."""
