@@ -197,27 +197,99 @@ def make_vpu_peak(chain=1200):
     return f, float(tile_m * tile_n * fb * nb), chain
 
 
-def make_exp_peak(chain=2000):
-    """In-VMEM transcendental pipeline rate: the speed-of-light op for the
-    small-d Gram matvec, where the n·m exponentials dominate the counted
-    MXU work. The body is abs+exp+mul per element; XLA fuses the whole
-    chain into one kernel (reads the operand once), so the measurement is
-    compute-bound — unlike an exp over an HBM-resident array, which is
-    bandwidth-bound and under-reads the pipeline ~2.7× (the source of an
-    earlier round's too-low \"pure-exp peak\" figure). Counted as 1 exp per
-    element; the abs and mul ride along, so the figure slightly
-    UNDER-reports the raw exp rate.
+def _make_vmem_chain_probe(body_step, n_per_elem):
+    """VMEM-resident elementwise probe factory (512×1024 tiles, grid 8):
+    ``body_step(x, y, c) -> value`` runs ``reps`` times per tile element
+    with a DIFFERENT rep constant ``c`` each time, results summed into an
+    accumulator. The reps are mutually independent (only the 1-op
+    accumulate chains) so the probe measures the VPU's THROUGHPUT for
+    the op mix — a serial per-element dependency chain instead measures
+    pipeline latency and was seen under-reading the achievable rate ~2×
+    (the shipped engine beat that style of "bound" 1.5×). Returns a
+    ``make(chain)`` for :func:`_size_chain`; rate = ``n_per_elem``
+    events/element/rep.
     """
-    a0 = jax.random.normal(jax.random.PRNGKey(9), (4096, 4096), jnp.float32)
+    from jax.experimental import pallas as pl
 
-    @jax.jit
-    def f():
-        def body(_, a):
-            return jnp.exp(-jnp.abs(a)) * 1.0001
+    tile_m, tile_n, reps, grid = 512, 1024, 64, 8
 
-        return jnp.sum(jax.lax.fori_loop(0, chain, body, a0))
+    def body(x_ref, y_ref, o_ref):
+        x, y = x_ref[:], y_ref[:]
+        acc = jnp.zeros_like(x)
+        for r in range(reps):
+            acc = acc + body_step(x, y, 0.25 + 0.01 * r)
+        o_ref[:] = acc
 
-    return f, float(a0.size), chain
+    kx = jax.random.PRNGKey(9)
+    # uniform operands: keeps both probe chains provably bounded (the
+    # epilogue mix would blow up under unbounded tails); transcendental
+    # rates are data-independent
+    X = jax.random.uniform(kx, (grid * tile_m, tile_n), jnp.float32)
+    Y = jax.random.uniform(
+        jax.random.fold_in(kx, 1), (grid * tile_m, tile_n), jnp.float32
+    )
+    call = pl.pallas_call(
+        body,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((tile_m, tile_n), lambda b: (b, 0)),
+            pl.BlockSpec((tile_m, tile_n), lambda b: (b, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile_m, tile_n), lambda b: (b, 0)),
+        out_shape=jax.ShapeDtypeStruct((grid * tile_m, tile_n), jnp.float32),
+    )
+
+    def make(chain):
+        @jax.jit
+        def f():
+            def loop(_, carry):
+                out = call(X * (1.0 + 0.0 * carry), Y)
+                return jnp.sum(out[0])
+
+            return jax.lax.fori_loop(0, chain, loop, 0.0)
+
+        return f, float(tile_m * tile_n * reps * grid) * n_per_elem, chain
+
+    return make
+
+
+def make_exp_peak():
+    """Pure transcendental throughput, VMEM-resident (Texp/s).
+
+    Measured with a Pallas body (independent ``exp(−c_r·x)`` per element
+    per rep, operands VMEM-resident) because that is how the engine's
+    exp actually executes. Earlier rounds probed an XLA ``fori_loop``
+    chain over a (4096,4096) array and read 0.139 Texp/s — a ~3×+
+    under-read (see benchmarks/exp_probe_study.py, which also shows a
+    degree-5 bit-trick exp is 5.7× SLOWER than native, so native is the
+    right primitive). Counted as 1 exp per element; the mul and
+    accumulate add ride along, so the figure slightly UNDER-reports the
+    raw exp rate.
+    """
+    return _make_vmem_chain_probe(lambda x, y, c: jnp.exp(x * (-c)), 1.0)
+
+
+def make_epilogue_bound():
+    """Speed-of-light for the k=1 Gram-matvec epilogue (Tvalues/s).
+
+    Per delivered kernel value the dot-path epilogue MUST execute:
+    two subtractions (``cross − hx − hy``), one exp, and the k=1
+    contraction's multiply+accumulate — five VPU slots of which the exp
+    is ~8–12. The probe body is exactly that mix (sub, sub, exp, mul,
+    add per element per rep), VMEM-resident; the measured rate is the
+    denominator for ``vs_epilogue_bound`` in the d=28 KRR tier: no
+    general (all-tiles) kernel can exceed 1.0×, and the symmetric
+    triangle kernel's ceiling is 2.0× (it evaluates half the tiles).
+    """
+
+    def step(x, y, c):
+        # x, y ∈ U(0,1): the exp argument (x−y)−c ∈ (−1.9, 0.75) is
+        # bounded; the factory's accumulate add plays the contraction add
+        t = x - y
+        k = jnp.exp(t - c)
+        return k * y
+
+    return _make_vmem_chain_probe(step, 1.0)
 
 
 def make_krr_matvec(tier, symmetric, d=28, n=1 << 17):
@@ -225,10 +297,14 @@ def make_krr_matvec(tier, symmetric, d=28, n=1 << 17):
 
     Reported as kernel values DELIVERED per second (n·m useful values per
     sweep regardless of how many tiles were visited). The bound is the
-    measured exp pipeline rate (``exp_peak``): the general kernel cannot
-    exceed 1.0× it; the symmetric triangle kernel evaluates only ~half
-    the tiles, so delivering >1.0× the exp rate is direct evidence of the
-    symmetry win (its own ceiling is 2.0×).
+    measured minimal-epilogue rate (``epilogue_bound``: sub, sub, exp,
+    mul, add per value — the work the dot path cannot avoid): the general
+    kernel cannot exceed 1.0× it; the symmetric triangle kernel evaluates
+    only ~half the tiles, so delivering >1.0× is direct evidence of the
+    symmetry win (its ceiling is 2.0×). The pure-exp pipeline rate is
+    reported alongside for context (round 3 correction: the old XLA-chain
+    exp probe under-read ~3×, making earlier 'at the transcendental
+    speed of light' claims too generous — see exp_probe_study.py).
     """
     from rlaopt_tpu.ops.kernel_pallas import (
         kernel_matmat_pallas,
@@ -425,7 +501,8 @@ def main():
     runs = {
         "peak": make_peak(),
         "vpu_peak": make_vpu_peak(),
-        "exp_peak": make_exp_peak(),
+        "exp_peak": _size_chain(make_exp_peak(), 100),
+        "epilogue_bound": _size_chain(make_epilogue_bound(), 100),
     }
     for d in DS:
         for tier in PASSES:
@@ -482,7 +559,8 @@ def main():
             }
         shapes[f"d{d}"] = tiers
 
-    exp_peak = med(reps["exp_peak"])  # Texp/s (fused abs+exp+mul chain)
+    exp_peak = med(reps["exp_peak"])  # Texp/s (VMEM-resident Pallas chain)
+    epi_bound = med(reps["epilogue_bound"])  # Tvalues/s (sub,sub,exp,mul,add)
     krr_shape = {}
     for tier in ("exact", "bf16x3"):
         for sym in (False, True):
@@ -491,6 +569,9 @@ def main():
             krr_shape[name] = {
                 "kernel_values_per_s": round(tvals * 1e12),
                 "ms_per_16k2_sweep": round(16384.0**2 / (tvals * 1e12) * 1e3, 3),
+                # bound: the minimal per-value VPU mix (general ceiling 1.0,
+                # symmetric ceiling 2.0 — it evaluates half the tiles)
+                "vs_epilogue_bound": round(tvals / epi_bound, 3),
                 "vs_exp_pipeline": round(tvals / exp_peak, 3),
             }
 
@@ -549,6 +630,7 @@ def main():
                 "peak_bf16_tflops": round(peak, 2),
                 "vpu_peak_tpairs_per_s": round(vpu_peak, 3),
                 "exp_pipeline_texp_per_s": round(exp_peak, 3),
+                "krr_epilogue_bound_tvalues_per_s": round(epi_bound, 3),
                 "shapes": shapes,
                 "krr_shape_d28_k1": krr_shape,
                 "kernel_families_exact_d512": families,
