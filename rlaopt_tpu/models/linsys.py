@@ -125,9 +125,20 @@ class LinSys(Model):
         # claim made from the recurrence residual is CONFIRMED below by
         # falling through to the full evaluation, so termination decisions
         # and the final logged metrics always rest on a true residual.
+        # A confirm that FAILS (the true residual floors above the target
+        # while the estimator keeps contracting — the generic situation for
+        # a reduced-precision operator) must not re-run at every subsequent
+        # boundary: at n=1M each confirm is a ~20 s sweep. ``_confirm_gap``
+        # remembers the measured (true / estimator) ratio from the last
+        # confirm; the estimator metrics are reported gap-adjusted (the
+        # best available prediction of the true residual), and the next
+        # confirm fires only when that prediction itself clears the
+        # tolerance. gap starts at 1.0 (first claim always confirmed).
+        est_abs = None
         if not force_true and getattr(self, "_metrics_recurrence", False):
             R = self._metrics_solver.residual()
-            abs_res = jnp.linalg.norm(R, axis=0)
+            gap = getattr(self, "_confirm_gap", 1.0)
+            abs_res = jnp.linalg.norm(R, axis=0) * gap
             b_norms = jnp.linalg.norm(self._B, axis=0)
             atol, rtol = self._term_tol
             if not bool(
@@ -138,6 +149,7 @@ class LinSys(Model):
                     "rel_res": abs_res / b_norms,
                     "source": "recurrence",
                 }
+            est_abs = abs_res
         # Sampled-row metrics (``metrics="sampled"``): an unbiased estimator
         # of the per-column residual norm from s uniformly sampled rows,
         # E[(n/s)·Σ r_i²] = ‖r‖². A FULL residual at n=1M is itself
@@ -166,7 +178,8 @@ class LinSys(Model):
                 Kr = hmm(jnp.asarray(self._A)[idx], W)
             r = self._B[idx] - (Kr + reg * W[idx])
             scale = (n / s) ** 0.5
-            abs_est = jnp.linalg.norm(r, axis=0) * scale
+            gap = getattr(self, "_confirm_gap", 1.0)
+            abs_est = jnp.linalg.norm(r, axis=0) * scale * gap
             b_norms = jnp.linalg.norm(self._B, axis=0)
             atol, rtol = self._term_tol
             if not bool(
@@ -178,6 +191,24 @@ class LinSys(Model):
                     "source": "sampled",
                     "rel_stderr_est": (2.0 * s) ** -0.5,
                 }
+            est_abs = abs_est
+        m = self._true_internal_metrics(W)
+        if est_abs is not None:
+            # This was a confirm: update the measured (true / estimator)
+            # ratio so a FAILED confirm is not repeated until the estimator
+            # has contracted enough that the prediction clears tolerance.
+            ratio = m["abs_res"] / jnp.maximum(
+                est_abs, jnp.finfo(W.dtype).tiny
+            )
+            self._confirm_gap = max(
+                getattr(self, "_confirm_gap", 1.0)
+                * float(jnp.max(ratio)),
+                1.0,
+            )
+        return m
+
+    def _true_internal_metrics(self, W: jax.Array):
+        """Residual metrics from a full operator apply (the ground truth)."""
         # Watchdog-safe chunking for the TRUE residual at extreme scale: a
         # full kernel-operator apply is ONE device execution streaming n·m
         # kernel values, and the runtime kills executions past ~80-90 s —
@@ -367,6 +398,7 @@ class LinSys(Model):
         ) and solver.residual() is not None
         self._metrics_sampled = metrics == "sampled"
         self._sample_round = 0
+        self._confirm_gap = 1.0
 
         checkpointer = None
         if checkpoint_dir is not None:

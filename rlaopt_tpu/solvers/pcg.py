@@ -60,6 +60,12 @@ def _is_sharded_payload_operand(A) -> bool:
     return isinstance(A, ShardedLinOp)
 
 
+def _is_zero(W) -> bool:
+    """Host-side check that the init iterate is exactly zero (one cheap
+    device reduction) — lets ``pcg_init`` skip the full operator apply."""
+    return not bool(jax.device_get(jnp.any(W != 0)))
+
+
 def _is_pytree_operand(A) -> bool:
     """True when A can travel through jit as an operand pytree."""
     import numpy as np
@@ -75,14 +81,20 @@ def _is_pytree_operand(A) -> bool:
     return False
 
 
-def pcg_init(A, B, reg, W, inv_fn, pstate) -> PCGState:
+def pcg_init(A, B, reg, W, inv_fn, pstate, w_zero: bool = False) -> PCGState:
     """R = B − (A + reg·I)W;  Z = P⁻¹R;  P_ = Z;  RZ = RᵀZ.
 
     For f32 kernel operators the residual is evaluated compensated
     (``matmat_compensated``): residual-replacement restarts (``_resync``)
     then converge to the compensated floor, not the plain-f32 one.
+
+    ``w_zero=True`` (static) asserts W == 0 so R = B exactly — the common
+    zero-init case skips the full operator apply, which at n=1M is a ~30 s
+    compensated sweep spent multiplying by zeros.
     """
-    if B.dtype == jnp.float32 and hasattr(A, "matmat_compensated"):
+    if w_zero:
+        R = B
+    elif B.dtype == jnp.float32 and hasattr(A, "matmat_compensated"):
         hi, lo = A.matmat_compensated(W)
         R = (B - reg * W - hi) - lo
     else:
@@ -214,15 +226,18 @@ class PCG(Solver):
                 return state
 
             init = jax.jit(
-                lambda A_arg, B, reg, W, pstate: pcg_init(
-                    A_arg, B, reg, W, inv_fn, pstate
-                )
+                lambda A_arg, B, reg, W, pstate, w_zero: pcg_init(
+                    A_arg, B, reg, W, inv_fn, pstate, w_zero=w_zero
+                ),
+                static_argnames=("w_zero",),
             )
             # A as argument (not a closure constant) — see chunk note above.
-            self._init_fn = lambda B, reg, W, pstate: init(
-                self.system.A, B, reg, W, pstate
+            self._init_fn = lambda B, reg, W, pstate, w_zero=False: init(
+                self.system.A, B, reg, W, pstate, w_zero=w_zero
             )
-            self.state = self._init_fn(system.B, self._reg, W0, self._pstate)
+            self.state = self._init_fn(
+                system.B, self._reg, W0, self._pstate, w_zero=_is_zero(W0)
+            )
         elif _is_sharded_payload_operand(A):
             # Sharded operators carry a Mesh (not jit operands) but their
             # payload arrays may span non-addressable devices under
@@ -239,14 +254,18 @@ class PCG(Solver):
                 return state
 
             init = jax.jit(
-                lambda A_data, B, reg, W, pstate: pcg_init(
-                    A._with_data(A_data), B, reg, W, inv_fn, pstate
-                )
+                lambda A_data, B, reg, W, pstate, w_zero: pcg_init(
+                    A._with_data(A_data), B, reg, W, inv_fn, pstate,
+                    w_zero=w_zero,
+                ),
+                static_argnames=("w_zero",),
             )
-            self._init_fn = lambda B, reg, W, pstate: init(
-                A._data, B, reg, W, pstate
+            self._init_fn = lambda B, reg, W, pstate, w_zero=False: init(
+                A._data, B, reg, W, pstate, w_zero=w_zero
             )
-            self.state = self._init_fn(system.B, self._reg, W0, self._pstate)
+            self.state = self._init_fn(
+                system.B, self._reg, W0, self._pstate, w_zero=_is_zero(W0)
+            )
         else:
 
             @partial(jax.jit, static_argnames=("n_steps",))
@@ -258,12 +277,15 @@ class PCG(Solver):
                 return state
 
             init = jax.jit(
-                lambda B, reg, W, pstate: pcg_init(
-                    A, B, reg, W, inv_fn, pstate
-                )
+                lambda B, reg, W, pstate, w_zero=False: pcg_init(
+                    A, B, reg, W, inv_fn, pstate, w_zero=w_zero
+                ),
+                static_argnames=("w_zero",),
             )
             self._init_fn = init
-            self.state = init(system.B, self._reg, W0, self._pstate)
+            self.state = init(
+                system.B, self._reg, W0, self._pstate, w_zero=_is_zero(W0)
+            )
 
         self._chunk_fn = chunk
 

@@ -354,6 +354,50 @@ class TestRecurrenceMetrics:
         for entry in log.values():
             assert "source" not in entry["metrics"]["internal_metrics"]
 
+    def test_failed_confirm_not_repeated(self, key):
+        """When the estimator claims convergence but the TRUE residual
+        floors above tolerance (the generic reduced-precision-operator
+        situation), the expensive true-residual confirm must run once,
+        record the (true/estimator) gap, and NOT re-run at the next
+        boundary — subsequent metrics are the gap-adjusted prediction."""
+        A, B = make_spd_system(key, 128, 2, jnp.float32)
+        W = jnp.zeros_like(B)
+        sys_ = LinSys(A, B, reg=1e-3)
+        sys_._metrics_recurrence = True
+        sys_._metrics_sampled = False
+        sys_._confirm_gap = 1.0
+        # rtol chosen so the tiny fake recurrence passes but the true
+        # residual (‖B‖-sized at W=0) badly fails
+        sys_._term_tol = (0.0, 1e-6)
+
+        class _FakeSolver:
+            def residual(self):
+                return jnp.full_like(B, 1e-9)
+
+        sys_._metrics_solver = _FakeSolver()
+        calls = []
+        orig = sys_._true_internal_metrics
+
+        def counting_true(Wx):
+            calls.append(1)
+            return orig(Wx)
+
+        sys_._true_internal_metrics = counting_true
+        m1 = sys_._compute_internal_metrics(W)
+        assert len(calls) == 1  # first claim was confirmed (and failed)
+        assert sys_._confirm_gap > 1.0
+        m2 = sys_._compute_internal_metrics(W)
+        assert len(calls) == 1  # no second confirm
+        assert m2.get("source") == "recurrence"
+        # the gap is a scalar (max over columns): the prediction matches
+        # the worst column exactly and over-predicts the rest — always
+        # conservative, so the termination check cannot falsely pass
+        true_abs = m1["abs_res"]
+        assert bool(jnp.all(m2["abs_res"] >= true_abs * (1 - 1e-5)))
+        assert jnp.allclose(
+            jnp.max(m2["abs_res"]), jnp.max(true_abs), rtol=1e-5
+        )
+
     def test_sampled_metrics_sap(self, key):
         """metrics='sampled' on a SAP solve: intermediate boundaries carry
         the sampled tag + stderr, the final entry is true-evaluated, and
