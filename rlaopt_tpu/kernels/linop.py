@@ -42,6 +42,12 @@ class KernelLinOp(TwoSidedLinOp):
         compute_dtype=None,
     ):
         self._check_inputs(A1, A2, kernel_config)
+        from ..ops.kernel_pallas import normalize_compute_dtype
+
+        # Canonicalize the tier spelling at construction (ValueError here,
+        # not deep inside a traced matvec) — "bf16" and jnp.bfloat16 are
+        # accepted aliases of "bfloat16".
+        compute_dtype = normalize_compute_dtype(compute_dtype)
         self.kind = kind
         self.impl = impl
         self.compute_dtype = compute_dtype

@@ -85,6 +85,9 @@ class ShardedKernelLinOp(ShardedLinOp):
                 )
             mesh = make_mesh(axis=axis)
         ndev = axis_size(mesh, axis)
+        from ..ops.kernel_pallas import normalize_compute_dtype
+
+        compute_dtype = normalize_compute_dtype(compute_dtype)
         self.kind = kind
         self.impl = impl
         self.compute_dtype = compute_dtype

@@ -70,6 +70,26 @@ from ..kernels.functions import scale_inputs
 
 __all__ = ["kernel_matmat_pallas", "kernel_matvec_symmetric", "select_tiles"]
 
+
+def normalize_compute_dtype(cd):
+    """Canonicalize a user-supplied accuracy-tier spelling.
+
+    Accepts None (exact f32), "bf16x3", and any spelling of bfloat16
+    ("bfloat16", "bf16", jnp.bfloat16, np.dtype) — returns one of
+    None | "bf16x3" | "bfloat16" or raises ValueError.
+    """
+    if cd is None or cd == "bf16x3":
+        return cd
+    if cd in ("bf16", "bfloat16"):
+        return "bfloat16"
+    try:
+        s = str(jnp.dtype(cd))
+    except TypeError:
+        raise ValueError(f"unsupported compute_dtype {cd!r}") from None
+    if s != "bfloat16":
+        raise ValueError(f"unsupported compute_dtype {cd!r}")
+    return "bfloat16"
+
 _SQRT3 = 3.0**0.5
 _SQRT5 = 5.0**0.5
 
@@ -716,11 +736,7 @@ def kernel_matmat_pallas(
     Xs = scale_inputs(X1, lengthscale)
     Ys = scale_inputs(X2, lengthscale)
 
-    cd = compute_dtype
-    if cd is not None and cd not in ("bf16x3", "bfloat16"):
-        cd = str(jnp.dtype(cd))
-        if cd != "bfloat16":
-            raise ValueError(f"unsupported compute_dtype {compute_dtype!r}")
+    cd = normalize_compute_dtype(compute_dtype)
 
     # Path selection: Laplace routes to its dedicated feature-blocked VPU
     # kernel (any d); compensated/tiny-d exact requests take the direct VPU
@@ -1058,8 +1074,12 @@ def kernel_symmetric_supported(
     if kind == "laplace":
         # feature-blocked VPU kernel: any d, exp-tier-independent
         return True
-    passes = {None: 6, "bf16x3": 3, "bfloat16": 1}.get(compute_dtype)
-    return passes is not None and _round_up(passes * d, 128) <= 512
+    try:
+        cd = normalize_compute_dtype(compute_dtype)
+    except ValueError:
+        return False
+    passes = {None: 6, "bf16x3": 3, "bfloat16": 1}[cd]
+    return _round_up(passes * d, 128) <= 512
 
 
 @functools.partial(
@@ -1101,11 +1121,7 @@ def kernel_matvec_symmetric(
             v.dtype
         )
         return out if squeeze else out[:, None]
-    cd = compute_dtype
-    if cd is not None and cd not in ("bf16x3", "bfloat16"):
-        cd = str(jnp.dtype(cd))
-        if cd != "bfloat16":
-            raise ValueError(f"unsupported compute_dtype {compute_dtype!r}")
+    cd = normalize_compute_dtype(compute_dtype)
 
     T = tile
     Xc, YcT, hx, hyT = _norms_and_operands(kind, Xs, Xs)

@@ -162,3 +162,28 @@ class TestKernelLinOp:
             KernelConfig(lengthscale=jnp.ones((2, 2)))
         with pytest.raises(TypeError):
             KernelConfig(lengthscale="wide")
+
+
+class TestComputeDtypeAliases:
+    """Tier-spelling canonicalization at operator construction."""
+
+    def test_bf16_alias(self):
+        from rlaopt_tpu.ops.kernel_pallas import normalize_compute_dtype
+
+        assert normalize_compute_dtype(None) is None
+        assert normalize_compute_dtype("bf16x3") == "bf16x3"
+        for alias in ("bf16", "bfloat16", jnp.bfloat16):
+            assert normalize_compute_dtype(alias) == "bfloat16"
+        with pytest.raises(ValueError):
+            normalize_compute_dtype("fp8")
+        with pytest.raises(ValueError):
+            normalize_compute_dtype("float32")
+
+    def test_operator_accepts_alias(self, key):
+        X = jax.random.normal(key, (16, 4), dtype=jnp.float32)
+        op = RBFLinOp(X, X, KernelConfig(lengthscale=1.0),
+                      compute_dtype="bf16")
+        assert op.compute_dtype == "bfloat16"
+        with pytest.raises(ValueError):
+            RBFLinOp(X, X, KernelConfig(lengthscale=1.0),
+                     compute_dtype="fp8")
