@@ -74,7 +74,9 @@ class LstSq(Model):
         G = self._apply_AT(R) - (self._damp**2) * W
         return jnp.linalg.norm(G, axis=0)
 
-    def _compute_internal_metrics(self, W: jax.Array):
+    def _compute_internal_metrics(self, W: jax.Array, force_true: bool = False):
+        # force_true accepted for Model-layer signature compatibility; LstSq
+        # metrics are always computed from a full operator apply.
         if self._atb_norm is None:
             self._atb_norm = jnp.linalg.norm(self._apply_AT(self._B), axis=0)
         abs_res = self._normal_residual(W)
