@@ -5,6 +5,12 @@ Analog of ``experiments/distributed_krr_linsys_askotch_solve_test.py``
 here for one chip — scale n up and pass a mesh on a pod slice).
 """
 
+import os
+import sys
+
+# Runnable straight from a source checkout: `python examples/<name>.py`.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 

@@ -6,6 +6,12 @@ workload (n=100k, Nyström rank 100), single-controller TPU style: swap
 script on a pod slice.
 """
 
+import os
+import sys
+
+# Runnable straight from a source checkout: `python examples/<name>.py`.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 

@@ -18,6 +18,12 @@ On a TPU pod, drop the flags and the --procs/--proc-id arguments: the
 runtime auto-detects them.
 """
 
+import os
+import sys
+
+# Runnable straight from a source checkout: `python examples/<name>.py`.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 

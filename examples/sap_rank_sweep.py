@@ -4,6 +4,12 @@ Analog of the reference's ``experiments/linsys_solve_test.ipynb`` (35k×1k
 least squares, SAP with per-block Nyström rank 10..100, blk_sz=100).
 """
 
+import os
+import sys
+
+# Runnable straight from a source checkout: `python examples/<name>.py`.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 

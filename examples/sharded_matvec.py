@@ -4,6 +4,12 @@ The reference prototypes CUDA streams / mp.Pool / torch.distributed; here the
 whole exercise is three lines: shard the matrix, annotate, apply.
 """
 
+import os
+import sys
+
+# Runnable straight from a source checkout: `python examples/<name>.py`.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 
