@@ -24,6 +24,7 @@ import os
 import socket
 import subprocess
 import sys
+import warnings
 from typing import Optional, Sequence
 
 import jax
@@ -61,12 +62,38 @@ def initialize_multihost(
             )
         except Exception:
             pass  # non-CPU backends, or older jax: the option is advisory
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-        local_device_ids=local_device_ids,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            local_device_ids=local_device_ids,
+        )
+    except ValueError:
+        if coordinator_address is not None or num_processes is not None:
+            raise  # explicit multi-process arguments: misconfiguration
+        # All-None means "auto-detect" (TPU pods / managed clusters). On a
+        # plain host there is nothing to detect and jax raises before any
+        # global state is touched — degrade to single-process so the same
+        # script runs on a laptop and on a pod.
+        warnings.warn(
+            "initialize_multihost(): no cluster environment detected; "
+            "running single-process.",
+            stacklevel=2,
+        )
+    except RuntimeError:
+        if coordinator_address is not None or num_processes is not None:
+            raise  # joining a cluster after backend init is a real error
+        # Auto-detect requested but the XLA backend is already initialized
+        # (jax raises before touching distributed state). Stay
+        # single-process, loudly: on a pod the user must call this before
+        # any JAX computation to actually join the cluster.
+        warnings.warn(
+            "initialize_multihost(): XLA backend already initialized; "
+            "running single-process. To join a multi-host cluster, call "
+            "initialize_multihost() before any JAX computation.",
+            stacklevel=2,
+        )
 
 
 def make_mesh_2d(

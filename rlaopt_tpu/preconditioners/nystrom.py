@@ -13,6 +13,7 @@ The functional core is jit/scan-safe; SAP builds one of these per iteration
 inside a compiled loop.
 """
 
+import warnings
 from typing import NamedTuple, Optional
 
 import jax
@@ -61,6 +62,16 @@ def nystrom_update(
             size heuristic, so both factorization branches can be compared on
             the identical problem.
     """
+    if rank > n:
+        # A rank-n Nyström of an n-dim SPD operator is already exact; a wider
+        # sketch only produces a rank-deficient core (and shape blow-ups
+        # downstream, e.g. SAP blocks smaller than the configured rank).
+        warnings.warn(
+            f"Nyström sketch rank {rank} exceeds the operator dimension "
+            f"{n}; clamping to {n} (rank-n is already exact).",
+            stacklevel=2,
+        )
+        rank = n
     Omega = right_embedding(sketch, key, rank, n, dtype)  # (n, r)
     Y = A_mm(Omega)  # (n, r)
     Core = hmm(Omega.T, Y)  # (r, r)

@@ -111,6 +111,25 @@ class TestMesh2D:
 
 
 @pytest.mark.slow
+def test_initialize_multihost_single_process_fallback():
+    # No cluster env + no explicit args: degrade to single-process with a
+    # warning instead of surfacing jax's "coordinator_address should be
+    # defined" ValueError (the documented pod script must also run on a
+    # plain host). jax raises before touching global state, so this is
+    # safe to call in-process.
+    from rlaopt_tpu.parallel import initialize_multihost
+
+    if jax.process_count() > 1:
+        pytest.skip("already in a multi-process runtime")
+    with pytest.warns(UserWarning, match="single-process"):
+        initialize_multihost()
+    # Explicit multi-process misconfiguration still raises (ValueError for a
+    # missing coordinator, or RuntimeError when the XLA backend was already
+    # initialized by an earlier test — order-dependent, both must surface).
+    with pytest.raises((ValueError, RuntimeError)):
+        initialize_multihost(num_processes=2, process_id=0)
+
+
 def test_multiprocess_dryrun():
     """2 OS processes × 4 virtual devices: the real jax.distributed path."""
     from rlaopt_tpu.parallel import run_multiprocess_dryrun

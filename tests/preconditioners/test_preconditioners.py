@@ -169,6 +169,20 @@ class TestNystrom:
         )
         assert jnp.allclose(f_svd.S, f_eigh.S, rtol=1e3 * tol, atol=1e2 * tol)
 
+    def test_rank_above_dim_clamps_to_exact(self, dtype, tol, key):
+        # rank > n would sketch a rank-deficient core (and broke SAP when a
+        # block was smaller than the configured Nyström rank); the update
+        # clamps to rank = n, where the Nyström approximation is exact.
+        from rlaopt_tpu.preconditioners.nystrom import nystrom_update
+
+        n = 12
+        A = spd_matrix(key, n, dtype, cond=1e3)
+        with pytest.warns(UserWarning, match="clamping"):
+            f = nystrom_update(lambda X: A @ X, n, 3 * n, "gauss", key, dtype)
+        assert f.U.shape == (n, n) and f.S.shape == (n,)
+        rec = (f.U * f.S) @ f.U.T
+        assert jnp.linalg.norm(rec - A) / jnp.linalg.norm(A) < 1e4 * tol
+
     def test_reconstruction_quality(self, dtype, key):
         # Fast-decay SPD matrix: rank-r Nyström should capture it well
         n, rank = 60, 30

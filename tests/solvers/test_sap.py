@@ -76,6 +76,24 @@ class TestSAP:
         err = float(jnp.linalg.norm(W - W_true) / jnp.linalg.norm(W_true))
         assert err < 1e-4
 
+    def test_nystrom_rank_above_blk_sz_clamps(self, krr_problem, key):
+        # A Nyström rank larger than the SAP block is clamped to the block
+        # size (rank-blk_sz is exact on a blk_sz-dim block); this used to
+        # blow up with a shape mismatch inside the per-block update.
+        X, K, B, reg, W_true = krr_problem
+        row, blk = dense_oracles(K)
+        sys_ = LinSys(K, B, reg=reg, A_row_oracle=row, A_blk_oracle=blk)
+        cfg = SAPConfig(
+            max_iters=400, rtol=1e-5, blk_sz=16,
+            precond_config=NystromConfig(rank=48, rho=reg), accel=False,
+        )
+        with pytest.warns(UserWarning, match="clamping"):
+            W, log = sys_.solve(
+                cfg, jnp.zeros_like(B), callback_freq=100, key=key
+            )
+        err = float(jnp.linalg.norm(W - W_true) / jnp.linalg.norm(W_true))
+        assert err < 1e-4
+
     def test_identity_precond_runs(self, krr_problem, key):
         X, K, B, reg, W_true = krr_problem
         row, blk = dense_oracles(K)
