@@ -269,8 +269,19 @@ class LinSys(Model):
         comp_tol = jnp.maximum(
             rtol * jnp.linalg.norm(self._B, axis=0), atol
         )
-        self._mask = abs_res > comp_tol
-        return bool(jnp.all(~self._mask))
+        # Per-column freeze threshold. Metrics sourced from an ESTIMATOR
+        # (recurrence / sampled — never the basis of the final termination
+        # decision, which always falls through to a true residual) freeze a
+        # column only at 0.5× tolerance: an optimistic estimate that dips
+        # just under tol must not pause a still-converging column. A column
+        # wrongly frozen anyway self-heals — the all-columns confirm
+        # recomputes the mask from the true residual — but only after idling
+        # across the intervening boundaries; the margin avoids the idle.
+        freeze_tol = comp_tol
+        if internal_metrics.get("source") in ("recurrence", "sampled"):
+            freeze_tol = 0.5 * comp_tol
+        self._mask = abs_res > freeze_tol
+        return bool(jnp.all(abs_res <= comp_tol))
 
     def solve(
         self,
@@ -582,10 +593,19 @@ class LinSys(Model):
                 rtol * b_norms, atol
             )):
                 break
-            corr = LinSys(self._A, jnp.asarray(R64, W.dtype), reg=reg)
-            # Same operator and reg as the base solve: reuse its factor
-            # (SAP has no single factor — preconditioner arrives as None
-            # there and the correction solve builds its own per block).
+            # Same operator, reg, AND oracles as the base solve (SAP's
+            # constructor requires the oracles; they describe self._A and
+            # are equally valid for the correction system). Reuse the base
+            # solve's factor when one exists (SAP has no single factor —
+            # preconditioner arrives as None there and the correction solve
+            # builds its own per block).
+            corr = LinSys(
+                self._A,
+                jnp.asarray(R64, W.dtype),
+                reg=reg,
+                A_row_oracle=self._A_row_oracle,
+                A_blk_oracle=self._A_blk_oracle,
+            )
             #
             # Adaptive correction accuracy: the outer error contracts by
             # roughly the correction solve's own relative residual, so the

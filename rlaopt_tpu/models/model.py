@@ -149,7 +149,11 @@ class Model(ABC):
             solver._run_chunk(n_steps)
             i += n_steps
             rounds += 1
-            log_i = logger._compute_log(i, solver.W)
+            # force: the last chunk may be partial (max_iters not a multiple
+            # of log_freq) — the final iterate must still be logged,
+            # termination-checked, and eligible for the true-residual
+            # replacement below.
+            log_i = logger._compute_log(i, solver.W, force=(i >= max_iters))
             if log_i is not None:
                 log[i] = log_i
                 converged = termination_fn(log_i["metrics"]["internal_metrics"])

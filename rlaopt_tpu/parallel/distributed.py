@@ -70,8 +70,13 @@ def initialize_multihost(
             local_device_ids=local_device_ids,
         )
     except ValueError:
-        if coordinator_address is not None or num_processes is not None:
-            raise  # explicit multi-process arguments: misconfiguration
+        if (
+            coordinator_address is not None
+            or num_processes is not None
+            or process_id is not None
+            or local_device_ids is not None
+        ):
+            raise  # ANY explicit multi-process argument: misconfiguration
         # All-None means "auto-detect" (TPU pods / managed clusters). On a
         # plain host there is nothing to detect and jax raises before any
         # global state is touched — degrade to single-process so the same
@@ -82,7 +87,12 @@ def initialize_multihost(
             stacklevel=2,
         )
     except RuntimeError:
-        if coordinator_address is not None or num_processes is not None:
+        if (
+            coordinator_address is not None
+            or num_processes is not None
+            or process_id is not None
+            or local_device_ids is not None
+        ):
             raise  # joining a cluster after backend init is a real error
         # Auto-detect requested but the XLA backend is already initialized
         # (jax raises before touching distributed state). Stay

@@ -47,6 +47,7 @@ from ..preconditioners.nystrom import (
 )
 from ..spectral_estimators.spectral_norm import randomized_powering
 from ..utils.checkers import _as_key
+from ..utils.linalg import hmm
 
 if TYPE_CHECKING:
     from ..models import LinSys
@@ -237,7 +238,12 @@ class SAP(Solver):
             K_blk = blk_dense_fn(blk)
 
             def blk_mm(b, Z, _K=K_blk):  # noqa: ARG005 — b fixed to blk
-                return _K @ Z
+                # HIGHEST: without it the TPU default executes the f32
+                # matmul as bf16 passes (~1e-3 relative), feeding the
+                # Nyström sketch/Cholesky and power iteration with errors
+                # far beyond the streamed oracle's tier — the opposite of
+                # blk_dense's accuracy story.
+                return hmm(_K, Z)
 
         apply_inv, exact = self._get_precond(
             blk, k_prec, dtype, blk_mm, K_blk=K_blk

@@ -68,13 +68,13 @@ def csr_to_ell(values, indptr, indices, width: int | None = None,
                 max(int(np.quantile(counts, spill_quantile)), 1),
                 ELL_WIDTH_ALIGN,
             )
-            # Take the skew-robust quantile width when the full width pads
-            # too hard; never pad more than max_pad_ratio× the true nnz.
-            for cand in (q, width):
-                if cand * n_rows <= max_pad_ratio * max(values.size, 1):
-                    width = cand
-                    break
-            else:
+            # Prefer the FULL max-row width when it pads acceptably (no COO
+            # spill at all); fall back to the skew-robust quantile width
+            # when the full width would pad more than max_pad_ratio× the
+            # true nnz (one 100k-long row must not blow up storage). If
+            # even the quantile width exceeds the budget, take it anyway —
+            # it is the least-padded option that still bounds the spill.
+            if width * n_rows > max_pad_ratio * max(values.size, 1):
                 width = q
     width = max(int(width), 1)
 

@@ -56,9 +56,14 @@ class Logger:
         self.iter_time = time.time() - self.start_time
         self.cum_time += self.iter_time
 
-    def _compute_log(self, i: int, *args: Any, **kwargs: Any):
-        """Compute the log dict for iteration ``i`` (None off-frequency)."""
-        if i % self.log_freq != 0:
+    def _compute_log(self, i: int, *args: Any, force: bool = False, **kwargs: Any):
+        """Compute the log dict for iteration ``i`` (None off-frequency).
+
+        ``force=True`` logs regardless of frequency — used for the final
+        iteration when ``max_iters`` is not a multiple of ``log_freq``, so
+        the returned log always ends with a metric-checked entry.
+        """
+        if i % self.log_freq != 0 and not force:
             return None
         # Ensure all device work attributable to this round has finished so
         # iter_time/cum_time are real wall-clock measurements.

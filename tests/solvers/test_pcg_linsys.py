@@ -342,6 +342,44 @@ class TestRecurrenceMetrics:
                 == "recurrence"
             )
 
+    def test_final_partial_chunk_is_logged_and_true(self, key):
+        """max_iters not a multiple of callback_freq: the final iterate must
+        still be logged, termination-checked, and true-residual-backed (the
+        force_true replacement used to be skipped because the off-frequency
+        boundary returned no log entry)."""
+        A, B = make_spd_system(key, 128, 2, jnp.float32)
+        reg = 1e-4
+        cfg = PCGConfig(
+            max_iters=25, rtol=1e-12,
+            precond_config=NystromConfig(rank=48, rho=reg),
+        )
+        _, log = LinSys(A, B, reg=reg).solve(
+            cfg, jnp.zeros_like(B), callback_freq=10, key=key,
+            metrics="recurrence",
+        )
+        assert 25 in log
+        assert "source" not in log[25]["metrics"]["internal_metrics"]
+
+    def test_estimator_source_freezes_conservatively(self, key):
+        """Per-column freezing from an ESTIMATOR residual requires clearing
+        0.5x tolerance; a true residual freezes at tolerance. An optimistic
+        estimate dipping just under tol must not pause a column."""
+        A, B = make_spd_system(key, 32, 2, jnp.float32)
+        sys_ = LinSys(A, B, reg=1e-2)
+        b = jnp.linalg.norm(sys_.B, axis=0)
+        rtol = 0.1
+        # column 0 sits at 0.8x tol (under tol, over 0.5x tol); column 1 far
+        # above tol so the all-columns decision is False either way.
+        abs_res = jnp.stack([0.08 * b[0], 0.5 * b[1]])
+        est = {"abs_res": abs_res, "rel_res": abs_res / b, "source": "recurrence"}
+        done = sys_._check_termination_criteria(est, atol=0.0, rtol=rtol)
+        assert not done
+        assert bool(sys_.mask[0])  # still active: unconfirmed claim
+        true = {"abs_res": abs_res, "rel_res": abs_res / b}
+        done = sys_._check_termination_criteria(true, atol=0.0, rtol=rtol)
+        assert not done
+        assert not bool(sys_.mask[0])  # frozen: true residual cleared tol
+
     def test_auto_keeps_true_metrics_on_small_problems(self, key):
         A, B = make_spd_system(key, 96, 2, jnp.float32)
         cfg = PCGConfig(

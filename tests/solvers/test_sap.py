@@ -46,6 +46,25 @@ class TestSAP:
         err = float(jnp.linalg.norm(W - W_true) / jnp.linalg.norm(W_true))
         assert err < 1e-5
 
+    def test_f64_refine_forwards_oracles(self, krr_problem, key):
+        """f64 refinement builds its correction LinSys with the SAME oracles
+        as the base system: a SAP base solve must be able to refine (SAP's
+        constructor requires the oracles, so omitting them crashed the
+        refinement after the expensive base run)."""
+        X, K, B, reg, W_true = krr_problem
+        row, blk = dense_oracles(K)
+        sys_ = LinSys(K, B, reg=reg, A_row_oracle=row, A_blk_oracle=blk)
+        cfg = SAPConfig(
+            max_iters=300, rtol=1e-4, blk_sz=16,
+            precond_config=NystromConfig(rank=16, rho=reg), accel=False,
+        )
+        W, log = sys_.solve(
+            cfg, jnp.zeros_like(B), callback_freq=100, key=key,
+            f64_refine_rounds=1,
+        )
+        hist = log["f64_refine"]["rel_res_f64"]
+        assert max(hist[-1]) <= max(hist[0])
+
     def test_nystrom_accel_converges(self, krr_problem, key):
         X, K, B, reg, W_true = krr_problem
         row, blk = dense_oracles(K)

@@ -91,6 +91,26 @@ class TestConversion:
             D @ x, atol=1e-4, rtol=0,
         )
 
+    def test_affordable_full_width_avoids_spill(self):
+        # 999 rows of 8 nnz + one of 16: the full width (16) pads only ~2x
+        # the true nnz — inside max_pad_ratio — so the heuristic must take
+        # it and produce NO COO spill (the quantile width 8 would spill).
+        rows = [np.full(8, i) for i in range(999)] + [np.full(16, 999)]
+        r = np.concatenate(rows).astype(np.int32)
+        c = np.concatenate(
+            [np.arange(8)] * 999 + [np.arange(16)]
+        ).astype(np.int32)
+        v = np.ones(len(r), np.float32)
+        A = sp.csr_matrix((v, (r, c)), shape=(1000, 64))
+        ell = csr_to_ell(A.data, A.indptr, A.indices)
+        assert ell["ell_values"].shape[1] == 16
+        assert "coo_values" not in ell
+        D, x, X = _apply_oracle(A)
+        np.testing.assert_allclose(
+            np.asarray(ell_matvec(ell, jnp.asarray(x)), np.float64),
+            D @ x, atol=1e-4, rtol=0,
+        )
+
     def test_jit_scan_safe(self):
         import jax
 
