@@ -577,7 +577,9 @@ def _laplace_feature_block(d: int) -> int:
     )
 
 
-def _laplace_matmat(Xs, Ys, V, tile_m, tile_n, interpret, compensated):
+def _laplace_matmat(
+    Xs, Ys, V, tile_m, tile_n, interpret, compensated, acc_mode=None
+):
     """Laplace dispatch: 3-axis grid (rows × cols × feature blocks).
 
     Mosaic requires a block's trailing dim to be 128-divisible or span the
@@ -604,7 +606,11 @@ def _laplace_matmat(Xs, Ys, V, tile_m, tile_n, interpret, compensated):
 
     body = functools.partial(
         _body_laplace, nj=nj, nb=nb, d_orig=d, compensated=compensated,
-        acc_mode=("vpu", V.shape[1]) if k_p <= 16 else "highest",
+        acc_mode=_resolve_acc_mode(
+            acc_mode,
+            ("vpu", V.shape[1]) if k_p <= 16 else "highest",
+            V.shape[1],
+        ),
     )
     o_spec = pl.BlockSpec((tile_m, k_p), lambda i, j, b: (i, 0))
     out_specs = [o_spec, o_spec] if compensated else o_spec
@@ -693,11 +699,23 @@ def _split_bf16_3(A):
     return hi, mid, lo
 
 
+
+def _resolve_acc_mode(override, default, k):
+    """Apply the user/benchmark acc_mode override to a dispatch default."""
+    if override is None:
+        return default
+    if override == "vpu":
+        return ("vpu", k)
+    if override not in ("split", "highest", "fast"):
+        raise ValueError(f"unknown acc_mode {override!r}")
+    return override
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "kind", "tile_m", "tile_n", "compute_dtype", "interpret",
-        "compensated", "pipeline",
+        "compensated", "pipeline", "acc_mode",
     ),
 )
 def kernel_matmat_pallas(
@@ -713,11 +731,16 @@ def kernel_matmat_pallas(
     interpret: bool = False,
     compensated: bool = False,
     pipeline: bool = True,
+    acc_mode: Optional[str] = None,
 ) -> jax.Array:
     """Fused ``c·k(X1, X2) @ V`` on TPU (see module docstring).
 
     Args mirror :func:`rlaopt_tpu.ops.kernel_xla.kernel_matmat_xla`; extra
     knobs: tile sizes (default: VMEM-budget autotuned) and the accuracy tier.
+    ``acc_mode`` overrides the RHS-contraction engine choice ("vpu" /
+    "split" / "highest" / "fast" — see :func:`_acc_update`; None = the
+    measured dispatch rule). A tuning/benchmark knob: the default rule is
+    derived from the on-chip study in benchmarks/acc_mode_study.py.
 
     ``compensated=True`` (exact tier only) returns ``(hi, lo)`` with
     ``hi + lo`` the compensated cross-tile sum (TwoSum-carried rounding
@@ -787,7 +810,9 @@ def kernel_matmat_pallas(
         tile_n = tile_n or tn_auto
     if kind == "laplace":
         tile_m, tile_n = min(tile_m, 512), min(tile_n, 1024)
-        out = _laplace_matmat(Xs, Ys, V, tile_m, tile_n, interpret, compensated)
+        out = _laplace_matmat(
+            Xs, Ys, V, tile_m, tile_n, interpret, compensated, acc_mode
+        )
         c = jnp.asarray(const_scaling, V.dtype)
         if compensated:
             hi, lo = out
@@ -812,7 +837,9 @@ def kernel_matmat_pallas(
         else:
             body = functools.partial(
                 _body_direct, kind=kind, nj=Yp.shape[0] // tile_n, d_orig=d,
-                acc_mode=("vpu", k) if k_p8 <= 16 else "highest",
+                acc_mode=_resolve_acc_mode(
+                    acc_mode, ("vpu", k) if k_p8 <= 16 else "highest", k
+                ),
             )
     else:
         Xc, YcT, hx, hyT = _norms_and_operands(kind, Xs, Ys)
@@ -857,10 +884,11 @@ def kernel_matmat_pallas(
         if concat3 or concat6:
             inputs = [Xc, YcT]  # concatenated bf16 split arrangement
             if k_p8 <= 16:
-                acc_mode = ("vpu", k)
+                default_acc = ("vpu", k)
             else:
                 # tier-matched RHS contraction on the K tile (f32 either way)
-                acc_mode = "split" if concat3 else "highest"
+                default_acc = "split" if concat3 else "highest"
+            acc_mode = _resolve_acc_mode(acc_mode, default_acc, k)
             if pipeline:
                 body = functools.partial(
                     _body_pipe, kind=kind, nj=nj, acc_mode=acc_mode,
@@ -875,7 +903,9 @@ def kernel_matmat_pallas(
             xh, xl = _split_bf16(Xc)
             yh, yl = _split_bf16(YcT)
             inputs = [xh, xl, yh, yl]
-            acc_mode = ("vpu", k) if k_p8 <= 16 else "split"
+            acc_mode = _resolve_acc_mode(
+                acc_mode, ("vpu", k) if k_p8 <= 16 else "split", k
+            )
             if pipeline:
                 body = functools.partial(
                     _body_pipe, kind=kind, nj=nj, acc_mode=acc_mode,
@@ -888,7 +918,9 @@ def kernel_matmat_pallas(
                 )
         elif cd == "bfloat16":
             inputs = [Xc.astype(jnp.bfloat16), YcT.astype(jnp.bfloat16)]
-            acc_mode = ("vpu", k) if k_p8 <= 16 else "fast"
+            acc_mode = _resolve_acc_mode(
+                acc_mode, ("vpu", k) if k_p8 <= 16 else "fast", k
+            )
             if pipeline:
                 body = functools.partial(
                     _body_pipe, kind=kind, nj=nj, acc_mode=acc_mode,
@@ -904,7 +936,9 @@ def kernel_matmat_pallas(
             if compensated:
                 body = functools.partial(_body_exact_comp, kind=kind, nj=nj)
             else:
-                acc_mode = ("vpu", k) if k_p8 <= 16 else "highest"
+                acc_mode = _resolve_acc_mode(
+                    acc_mode, ("vpu", k) if k_p8 <= 16 else "highest", k
+                )
                 if pipeline:
                     body = functools.partial(
                         _body_pipe, kind=kind, nj=nj, acc_mode=acc_mode,
@@ -987,24 +1021,45 @@ def kernel_matmat_pallas(
     return out[:, 0] if squeeze else out
 
 
+def _sym_epilogue(
+    kind, acc_ref, o2_ref, kprev_ref, vjprev_ref, viprev_ref, jrow,
+    k_real, k_pad,
+):
+    """Both-triangle contractions of a stored tile (VPU, real cols only).
+
+    ``kv`` serves K@v_j → acc (this row tile) and Kᵀ@v_i → the o2 mirror
+    window at row-block ``jrow`` (one (1, T) row per RHS column, laid out
+    ``jrow·k_pad + c``).
+    """
+    kv = _finish_pre(kind, kprev_ref[:])
+    for c in range(k_real):
+        acc_ref[:, c : c + 1] += jnp.sum(
+            kv * vjprev_ref[c : c + 1, :], axis=1, keepdims=True
+        )
+        o2_ref[pl.ds(jrow * k_pad + c, 1), :] += jnp.sum(
+            kv * viprev_ref[:, c : c + 1], axis=0, keepdims=True
+        )
+
+
 def _body_sym(
     x_ref, y_ref, hx_ref, hy_ref, vj_ref, vi_ref, o1_ref, o2_ref,
     acc_ref, kprev_ref, vjprev_ref, viprev_ref,
-    *, kind, nt, ns, nt_even, cross_fn,
+    *, kind, nt, ns, nt_even, cross_fn, k_real, k_pad,
 ):
-    """Symmetric-matvec body: each visited tile serves BOTH triangles.
+    """Symmetric-matmat body: each visited tile serves BOTH triangles.
 
     Grid (i, s) maps to tile (i, j) with j = (i + s) mod nt (circulant
     pairing): for odd nt, s ∈ [0, (nt-1)/2] visits every unordered block
     pair exactly once; for even nt the extra s = nt/2 column is
     double-covered, so it is active only for i < nt/2. Each active
-    off-diagonal tile contributes K@v_j to out1[i] (scratch accumulator,
-    flushed per row) AND Kᵀ@v_i to out2[j] (accumulated in the
+    off-diagonal tile contributes K@V_j to out1[i] (scratch accumulator,
+    flushed per row) AND KᵀV_i to out2[j] (accumulated in the
     whole-array output window, which has a constant index map and so
-    stays resident in VMEM for the entire grid). Diagonal tiles (s = 0)
+    stays resident in VMEM for the entire grid; k_real ≤ 8 RHS columns
+    each own a (1, T) row of the window). Diagonal tiles (s = 0)
     are full tiles and must not mirror; inactive steps contribute
     nothing. Both exclusions are implemented by zeroing the STORED
-    pipeline copies of v_i / v_j, so the software-pipelined epilogue
+    pipeline copies of V_i / V_j, so the software-pipelined epilogue
     (previous tile's exp + contractions under the current tile's MXU
     cross passes, as in ``_body_pipe``) needs no flag bookkeeping.
     """
@@ -1026,11 +1081,10 @@ def _body_sym(
     cross = cross_fn((x_ref, y_ref))
 
     # epilogue of the PREVIOUS tile (s-1) in this row — overlaps the MXU
-    kv = _finish_pre(kind, kprev_ref[:])
-    acc_ref[:] += jnp.sum(kv * vjprev_ref[:], axis=1, keepdims=True)
     jprev = lax.rem(i + jnp.maximum(s - 1, 0), jnp.int32(nt))
-    o2_ref[pl.ds(jprev, 1), :] += jnp.sum(
-        kv * viprev_ref[:], axis=0, keepdims=True
+    _sym_epilogue(
+        kind, acc_ref, o2_ref, kprev_ref, vjprev_ref, viprev_ref, jprev,
+        k_real, k_pad,
     )
 
     if nt_even:
@@ -1044,11 +1098,10 @@ def _body_sym(
 
     @pl.when(s == ns - 1)
     def _():
-        kv_last = _finish_pre(kind, kprev_ref[:])
-        acc_ref[:] += jnp.sum(kv_last * vjprev_ref[:], axis=1, keepdims=True)
         jlast = lax.rem(i + s, jnp.int32(nt))
-        o2_ref[pl.ds(jlast, 1), :] += jnp.sum(
-            kv_last * viprev_ref[:], axis=0, keepdims=True
+        _sym_epilogue(
+            kind, acc_ref, o2_ref, kprev_ref, vjprev_ref, viprev_ref,
+            jlast, k_real, k_pad,
         )
         o1_ref[:] = acc_ref[:].astype(o1_ref.dtype)
 
@@ -1063,17 +1116,18 @@ def kernel_symmetric_supported(
     compensated: bool = False,
 ) -> bool:
     """Whether the triangle kernel applies: square symmetric Gram (X1 is
-    X2 — caller's responsibility), single RHS column, dot-path kernel,
-    plain accumulation, concat depth ≤ 512 (so the fixed T=512 tiles fit
+    X2 — caller's responsibility), ≤ 8 RHS columns (each owns a row of
+    the resident mirror window; Laplace: single column), dot-path plain
+    accumulation, concat depth ≤ 512 (so the fixed T=512 tiles fit
     VMEM alongside the resident mirror window), and the mirror window
     itself fits."""
-    if k != 1 or compensated:
+    if compensated or k > 8:
         return False
-    if 4 * _round_up(n, 512) > _SYM_OUT2_BUDGET_BYTES:
+    if 4 * _round_up(n, 512) * k > _SYM_OUT2_BUDGET_BYTES:
         return False
     if kind == "laplace":
         # feature-blocked VPU kernel: any d, exp-tier-independent
-        return True
+        return k == 1
     try:
         cd = normalize_compute_dtype(compute_dtype)
     except ValueError:
@@ -1095,28 +1149,31 @@ def kernel_matvec_symmetric(
     tile: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
-    """``c·k(X, X) @ v`` visiting only ~half the Gram tiles (symmetry).
+    """``c·k(X, X) @ V`` visiting only ~half the Gram tiles (symmetry).
 
     The Gram matrix of a kernel on one data set is symmetric, so every
-    superdiagonal tile K_ij can serve both K_ij@v_j → out[i] and
-    K_ijᵀ@v_i → out[j] while materialized once in VMEM — halving the n²
+    superdiagonal tile K_ij can serve both K_ij@V_j → out[i] and
+    K_ijᵀV_i → out[j] while materialized once in VMEM — halving the n²
     transcendental + MXU cross work that dominates the matvec (the
     reference's KeOps engine has no symmetric mode; this is TPU-side
-    gravy on SURVEY N10). Restrictions in
-    :func:`kernel_symmetric_supported`; measured on-chip at n=2¹⁷, d=28:
-    0.434 vs 0.641 ms per 16k²-equivalent sweep (bf16x3, 1.48×) and
+    gravy on SURVEY N10). V may have up to 8 columns (each owns a (1, T)
+    row of the resident mirror window; the per-column VPU contractions
+    total the same op count as the general kernel's — only the exp and
+    cross work halve). Restrictions in
+    :func:`kernel_symmetric_supported`; measured on-chip at n=2¹⁷, d=28,
+    k=1: 0.434 vs 0.641 ms per 16k²-equivalent sweep (bf16x3, 1.48×) and
     0.589 vs 1.012 (exact tier, 1.72×), agreeing with the general kernel
     to 3e-7. Accuracy is identical to the general kernel's tier: same
     tile formulas, same f32 VPU contractions.
     """
     squeeze = v.ndim == 1
-    if not squeeze:
-        v = v[:, 0]
+    V = v[:, None] if squeeze else v
     n, d = X.shape
+    k = V.shape[1]
 
     Xs = scale_inputs(X, lengthscale)
     if kind == "laplace":
-        out = _laplace_matvec_symmetric(Xs, v, tile, interpret)
+        out = _laplace_matvec_symmetric(Xs, V[:, 0], tile, interpret)
         out = (out[:n] * jnp.asarray(const_scaling, jnp.float32)).astype(
             v.dtype
         )
@@ -1142,7 +1199,12 @@ def kernel_matvec_symmetric(
     YcT = _pad_axis(_pad_axis(YcT, 128, 0), T, 1)
     hx = _pad_axis(hx, T, 0)
     hyT = _pad_axis(hyT, T, 1)
-    vp = _pad_axis(v.astype(jnp.float32)[:, None], T, 0)  # (n_p, 1)
+    # No 8-padding of k: full-trailing-axis blocks of width k are legal
+    # (the k=1 original used (T, 1) blocks), and the resident mirror
+    # window scales with k — padding would shrink the supported n by 8x
+    # for the k=1 flagship matvec.
+    k_pad = k
+    Vp = _pad_axis(V.astype(jnp.float32), T, 0)
 
     n_p, d_p = Xc.shape
     nt = n_p // T
@@ -1152,7 +1214,7 @@ def kernel_matvec_symmetric(
     out1, out2 = pl.pallas_call(
         functools.partial(
             _body_sym, kind=kind, nt=nt, ns=ns, nt_even=nt_even,
-            cross_fn=_cross_bf16,
+            cross_fn=_cross_bf16, k_real=k, k_pad=k_pad,
         ),
         grid=(nt, ns),
         in_specs=[
@@ -1160,37 +1222,44 @@ def kernel_matvec_symmetric(
             pl.BlockSpec((d_p, T), lambda i, s: (0, (i + s) % nt)),
             pl.BlockSpec((T, 1), lambda i, s: (i, 0)),
             pl.BlockSpec((1, T), lambda i, s: (0, (i + s) % nt)),
-            pl.BlockSpec((1, T), lambda i, s: (0, (i + s) % nt)),  # v_j row
-            pl.BlockSpec((T, 1), lambda i, s: (i, 0)),  # v_i col
+            pl.BlockSpec((k_pad, T), lambda i, s: (0, (i + s) % nt)),  # V_j^T
+            pl.BlockSpec((T, k_pad), lambda i, s: (i, 0)),  # V_i
         ],
         out_specs=[
-            pl.BlockSpec((T, 1), lambda i, s: (i, 0)),
-            pl.BlockSpec((nt, T), lambda i, s: (0, 0)),  # resident mirror
+            pl.BlockSpec((T, k_pad), lambda i, s: (i, 0)),
+            pl.BlockSpec((nt * k_pad, T), lambda i, s: (0, 0)),  # mirror
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_p, 1), jnp.float32),
-            jax.ShapeDtypeStruct((nt, T), jnp.float32),
+            jax.ShapeDtypeStruct((n_p, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((nt * k_pad, T), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((T, 1), jnp.float32),  # acc (direct)
+            pltpu.VMEM((T, k_pad), jnp.float32),  # acc (direct)
             pltpu.VMEM((T, T), jnp.float32),  # kprev
-            pltpu.VMEM((1, T), jnp.float32),  # vjprev
-            pltpu.VMEM((T, 1), jnp.float32),  # viprev
+            pltpu.VMEM((k_pad, T), jnp.float32),  # vjprev
+            pltpu.VMEM((T, k_pad), jnp.float32),  # viprev
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=n_p * n_p * (d_p + 2),
-            bytes_accessed=(2 * n_p * d_p + 6 * n_p) * 4,
+            flops=n_p * n_p * (d_p + 2 * k_pad),
+            bytes_accessed=(2 * n_p * d_p + 6 * n_p * k_pad) * 4,
             transcendentals=n_p * n_p // 2,
         ),
         interpret=interpret,
-    )(Xc, YcT, hx, hyT, vp.T, vp)
+    )(Xc, YcT, hx, hyT, Vp.T, Vp)
 
-    out = out1[:, 0] + out2.reshape(n_p)
-    out = (out[:n] * jnp.asarray(const_scaling, jnp.float32)).astype(v.dtype)
-    return out if squeeze else out[:, None]
+    # mirror window row j·k_pad + c holds column c's contribution to the
+    # T output rows of tile j
+    mirror = out2.reshape(nt, k_pad, T).transpose(0, 2, 1).reshape(
+        n_p, k_pad
+    )
+    out = (out1 + mirror)[:n, :k] * jnp.asarray(
+        const_scaling, jnp.float32
+    )
+    out = out.astype(v.dtype)
+    return out[:, 0] if squeeze else out
 
 
 def _body_sym_laplace(

@@ -50,28 +50,39 @@ def test_symmetric_matches_general_same_tier(n, tile, kind, cd):
     assert rel < 3e-6, (n, tile, kind, cd, rel)
 
 
-def test_symmetric_2d_rhs_shape():
-    n, d = 300, 9
-    X = jax.random.normal(KEY, (n, d), jnp.float32)
-    v = jax.random.normal(jax.random.fold_in(KEY, 2), (n, 1), jnp.float32)
-    got = kernel_matvec_symmetric(
-        "rbf", X, v, 1.0, 1.0, tile=256, interpret=True
-    )
-    assert got.shape == (n, 1)
-    ref = kernel_matmat_pallas("rbf", X, X, v, 1.0, 1.0, interpret=True)
-    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
-    assert rel < 3e-6
+@pytest.mark.parametrize("k", [1, 2, 5, 8])
+@pytest.mark.parametrize("cd", [None, "bf16x3"])
+def test_symmetric_multi_rhs_matches_general(k, cd):
+    """k <= 8 RHS columns: each owns a row of the mirror window; parity
+    with the general kernel at the same tier, both grid parities."""
+    for n in (300, 700):  # nt=2 even (padded), nt=3 odd
+        d = 9
+        X = jax.random.normal(KEY, (n, d), jnp.float32)
+        V = jax.random.normal(jax.random.fold_in(KEY, 2), (n, k), jnp.float32)
+        got = kernel_matvec_symmetric(
+            "rbf", X, V, 1.0, 1.0, compute_dtype=cd, tile=256, interpret=True
+        )
+        assert got.shape == (n, k)
+        ref = kernel_matmat_pallas(
+            "rbf", X, X, V, 1.0, 1.0, compute_dtype=cd, interpret=True
+        )
+        rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+        assert rel < 3e-6, (n, k, cd, rel)
 
 
 def test_supported_predicate():
     # eligible: k=1, dot kernel, small d, n within the mirror-window budget
     assert kernel_symmetric_supported(10**6, 28, 1, "rbf", "bf16x3")
     assert kernel_symmetric_supported(10**6, 28, 1, "rbf", None)
-    # laplace: feature-blocked body, any d
+    # laplace: feature-blocked body, any d (k=1 only)
     assert kernel_symmetric_supported(10**6, 512, 1, "laplace", None)
-    # multi-column RHS, compensated, huge depth, huge n: all fall back to
-    # the general kernel
+    assert not kernel_symmetric_supported(10**5, 512, 2, "laplace", None)
+    # multi-column RHS within the window budget (4*n*k bytes <= 6 MB)
+    assert kernel_symmetric_supported(10**5, 28, 8, "rbf", None)
+    assert not kernel_symmetric_supported(10**5, 28, 9, "rbf", None)  # k > 8
+    # k=2 at n=1M: the window (8 MB) exceeds the budget -> general kernel
     assert not kernel_symmetric_supported(10**6, 28, 2, "rbf", "bf16x3")
+    # compensated, huge depth, huge n: all fall back to the general kernel
     assert not kernel_symmetric_supported(
         10**6, 28, 1, "rbf", None, compensated=True
     )
