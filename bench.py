@@ -292,7 +292,7 @@ def make_epilogue_bound():
     return _make_vmem_chain_probe(step, 1.0)
 
 
-def make_krr_matvec(tier, symmetric, d=28, n=1 << 17):
+def make_krr_matvec(tier, symmetric, d=28, n=1 << 17, k=1):
     """North-star-shape Gram matvec: d=28, k=1 (the n=1M KRR PCG apply).
 
     Reported as kernel values DELIVERED per second (n·m useful values per
@@ -305,6 +305,12 @@ def make_krr_matvec(tier, symmetric, d=28, n=1 << 17):
     reported alongside for context (round 3 correction: the old XLA-chain
     exp probe under-read ~3×, making earlier 'at the transcendental
     speed of light' claims too generous — see exp_probe_study.py).
+
+    ``k > 1`` measures the multi-RHS variant (LinSys with a (n, k) B):
+    the triangle kernel supports k ≤ 8, halving exp+cross work while the
+    per-value contraction cost matches the general kernel's; the k=8
+    section reports the measured symmetric-vs-general speedup instead of
+    the (k=1-specific) epilogue-bound fraction.
     """
     from rlaopt_tpu.ops.kernel_pallas import (
         kernel_matmat_pallas,
@@ -313,7 +319,8 @@ def make_krr_matvec(tier, symmetric, d=28, n=1 << 17):
 
     key = jax.random.PRNGKey(0)
     X = jax.random.normal(key, (n, d), jnp.float32)
-    v0 = jax.random.normal(jax.random.fold_in(key, 2), (n,), jnp.float32)
+    vshape = (n,) if k == 1 else (n, k)
+    v0 = jax.random.normal(jax.random.fold_in(key, 2), vshape, jnp.float32)
     ls = float(d) ** 0.5
 
     def make(chain):
@@ -512,6 +519,9 @@ def main():
             runs[("krr", tier, sym)] = _size_chain(
                 make_krr_matvec(tier, sym), 4
             )
+            runs[("krr8", tier, sym)] = _size_chain(
+                make_krr_matvec(tier, sym, k=8), 4
+            )
     for kind in FAMILIES:
         runs[("family", kind)] = _size_chain(
             make_kernel("exact", D_HEADLINE, kind), 8
@@ -574,6 +584,23 @@ def main():
                 "vs_epilogue_bound": round(tvals / epi_bound, 3),
                 "vs_exp_pipeline": round(tvals / exp_peak, 3),
             }
+    krr8_shape = {}
+    for tier in ("exact", "bf16x3"):
+        pair = {}
+        for sym in (False, True):
+            tvals = med(reps[("krr8", tier, sym)])
+            pair["symmetric" if sym else "general"] = {
+                "kernel_values_per_s": round(tvals * 1e12),
+                "ms_per_16k2_sweep": round(
+                    16384.0**2 / (tvals * 1e12) * 1e3, 3
+                ),
+            }
+        pair["speedup_symmetric"] = round(
+            pair["symmetric"]["kernel_values_per_s"]
+            / pair["general"]["kernel_values_per_s"],
+            3,
+        )
+        krr8_shape[tier] = pair
 
     vpu_peak = med(reps["vpu_peak"])  # Tpairs/s (sub+abs+add triples)
     families = {}
@@ -633,6 +660,7 @@ def main():
                 "krr_epilogue_bound_tvalues_per_s": round(epi_bound, 3),
                 "shapes": shapes,
                 "krr_shape_d28_k1": krr_shape,
+                "krr_shape_d28_k8": krr8_shape,
                 "kernel_families_exact_d512": families,
                 "sparse_csr_matvec": sparse,
                 "sparse_tallskinny_normal_eq_sweep": sparse_ts,

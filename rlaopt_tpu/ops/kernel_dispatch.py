@@ -42,8 +42,9 @@ def kernel_matmat(
 
     ``symmetric=True`` asserts X1 and X2 are the SAME data set (the caller
     checks object identity at operator-construction time, before tracing
-    splits them into distinct tracers); eligible single-column matvecs
-    then take the triangle kernel, which visits only ~half the Gram tiles
+    splits them into distinct tracers); eligible applies (dot-path
+    kernels: up to 8 RHS columns; Laplace: single column) then take the
+    triangle kernel, which visits only ~half the Gram tiles
     (:func:`rlaopt_tpu.ops.kernel_pallas.kernel_matvec_symmetric`).
     """
     if impl == "auto":
