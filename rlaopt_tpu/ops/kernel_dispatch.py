@@ -53,22 +53,27 @@ def kernel_matmat(
     if impl == "pallas":
         from .kernel_pallas import (
             kernel_matmat_pallas,
+            kernel_matmat_symmetric_banded,
             kernel_matvec_symmetric,
+            kernel_symmetric_banded_supported,
             kernel_symmetric_supported,
         )
 
         k = 1 if V.ndim == 1 else V.shape[1]
-        if (
-            symmetric
-            and X1.shape[0] == X2.shape[0]
-            and kernel_symmetric_supported(
-                X1.shape[0], X1.shape[1], k, kind, compute_dtype
-            )
-        ):
-            return kernel_matvec_symmetric(
-                kind, X1, V, lengthscale, const_scaling,
-                compute_dtype=compute_dtype,
-            )
+        if symmetric and X1.shape[0] == X2.shape[0]:
+            n, d = X1.shape
+            if kernel_symmetric_supported(n, d, k, kind, compute_dtype):
+                return kernel_matvec_symmetric(
+                    kind, X1, V, lengthscale, const_scaling,
+                    compute_dtype=compute_dtype,
+                )
+            if kernel_symmetric_banded_supported(
+                n, d, k, kind, compute_dtype
+            ):
+                return kernel_matmat_symmetric_banded(
+                    kind, X1, V, lengthscale, const_scaling,
+                    compute_dtype=compute_dtype,
+                )
         return kernel_matmat_pallas(
             kind, X1, X2, V, lengthscale, const_scaling,
             compute_dtype=compute_dtype,

@@ -68,7 +68,13 @@ from jax.experimental.pallas import tpu as pltpu
 from ..kernels.functions import scale_inputs
 
 
-__all__ = ["kernel_matmat_pallas", "kernel_matvec_symmetric", "select_tiles"]
+__all__ = [
+    "kernel_matmat_pallas",
+    "kernel_matvec_symmetric",
+    "kernel_pair_matmat",
+    "kernel_matmat_symmetric_banded",
+    "select_tiles",
+]
 
 
 def normalize_compute_dtype(cd):
@@ -1021,6 +1027,31 @@ def kernel_matmat_pallas(
     return out[:, 0] if squeeze else out
 
 
+def _fold_tier_operands(Xc, YcT, cd):
+    """Concat-fold a tier's bf16 operand splits into single matmul operands.
+
+    The triangle/pair kernels run every tier through ``_cross_bf16`` on
+    concatenated splits: exact f32 = 6 parts (full Precision.HIGHEST
+    emulation), bf16x3 = 3 parts (lo·lo dropped), bfloat16 = the plain
+    cast.
+    """
+    if cd == "bf16x3":
+        xh, xl = _split_bf16(Xc)
+        yh, yl = _split_bf16(YcT)
+        return (
+            jnp.concatenate([xh, xh, xl], axis=1),
+            jnp.concatenate([yh, yl, yh], axis=0),
+        )
+    if cd == "bfloat16":
+        return Xc.astype(jnp.bfloat16), YcT.astype(jnp.bfloat16)
+    x1, x2, x3 = _split_bf16_3(Xc)
+    y1, y2, y3 = _split_bf16_3(YcT)
+    return (
+        jnp.concatenate([x1, x1, x2, x1, x2, x3], axis=1),
+        jnp.concatenate([y1, y2, y1, y3, y2, y1], axis=0),
+    )
+
+
 def _sym_epilogue(
     kind, acc_ref, o2_ref, kprev_ref, vjprev_ref, viprev_ref, jrow,
     k_real, k_pad,
@@ -1106,9 +1137,25 @@ def _body_sym(
         o1_ref[:] = acc_ref[:].astype(o1_ref.dtype)
 
 
-# out2 resident-window budget: the symmetric path keeps the full mirror
-# accumulator (nt, T) f32 = 4·n_p bytes in VMEM for the whole grid.
+# Laplace keeps its original flat window budget (feature-blocked body,
+# different scratch mix).
 _SYM_OUT2_BUDGET_BYTES = 6 * 1024 * 1024
+
+
+def _sym_window_budget_bytes(depth: int, tile: int = 512) -> int:
+    """VMEM available for the resident mirror window at a concat depth.
+
+    The dot-path symmetric body's other VMEM residents are the streamed
+    bf16 operand blocks (x and y, double-buffered: 2·2·tile·depth·2 B),
+    the kprev f32 scratch tile (4·tile²), and ~2 live f32 (T, T)
+    intermediates during the cross/exp epilogue (8·tile²). Subtracting
+    those from a 12 MiB base (1 MiB under the select_tiles budget, since
+    the constant-index-map window is outside its validated model) gives
+    the window room: ~8.5 MiB at depth 128 (the d=28 flagship — enough
+    for k=2 at n=1M), ~7 MiB at the depth-512 cap."""
+    streams = 2 * 2 * tile * depth * 2
+    tiles_f32 = 12 * tile * tile
+    return 12 * 1024 * 1024 - streams - tiles_f32
 
 
 def kernel_symmetric_supported(
@@ -1120,20 +1167,23 @@ def kernel_symmetric_supported(
     the resident mirror window; Laplace: single column), dot-path plain
     accumulation, concat depth ≤ 512 (so the fixed T=512 tiles fit
     VMEM alongside the resident mirror window), and the mirror window
-    itself fits."""
+    itself fits the depth-aware budget (:func:`_sym_window_budget_bytes`)."""
     if compensated or k > 8:
-        return False
-    if 4 * _round_up(n, 512) * k > _SYM_OUT2_BUDGET_BYTES:
         return False
     if kind == "laplace":
         # feature-blocked VPU kernel: any d, exp-tier-independent
+        if 4 * _round_up(n, 512) * k > _SYM_OUT2_BUDGET_BYTES:
+            return False
         return k == 1
     try:
         cd = normalize_compute_dtype(compute_dtype)
     except ValueError:
         return False
     passes = {None: 6, "bf16x3": 3, "bfloat16": 1}[cd]
-    return _round_up(passes * d, 128) <= 512
+    depth = _round_up(passes * d, 128)
+    if depth > 512:
+        return False
+    return 4 * _round_up(n, 512) * k <= _sym_window_budget_bytes(depth)
 
 
 @functools.partial(
@@ -1182,19 +1232,7 @@ def kernel_matvec_symmetric(
 
     T = tile
     Xc, YcT, hx, hyT = _norms_and_operands(kind, Xs, Xs)
-    if cd == "bf16x3":
-        xh, xl = _split_bf16(Xc)
-        yh, yl = _split_bf16(YcT)
-        Xc = jnp.concatenate([xh, xh, xl], axis=1)
-        YcT = jnp.concatenate([yh, yl, yh], axis=0)
-    elif cd == "bfloat16":
-        Xc = Xc.astype(jnp.bfloat16)
-        YcT = YcT.astype(jnp.bfloat16)
-    else:
-        x1, x2, x3 = _split_bf16_3(Xc)
-        y1, y2, y3 = _split_bf16_3(YcT)
-        Xc = jnp.concatenate([x1, x1, x2, x1, x2, x3], axis=1)
-        YcT = jnp.concatenate([y1, y2, y1, y3, y2, y1], axis=0)
+    Xc, YcT = _fold_tier_operands(Xc, YcT, cd)
     Xc = _pad_axis(_pad_axis(Xc, T, 0), 128, 1)
     YcT = _pad_axis(_pad_axis(YcT, 128, 0), T, 1)
     hx = _pad_axis(hx, T, 0)
@@ -1259,6 +1297,265 @@ def kernel_matvec_symmetric(
         const_scaling, jnp.float32
     )
     out = out.astype(v.dtype)
+    return out[:, 0] if squeeze else out
+
+
+def _body_pair(
+    x_ref, y_ref, hx_ref, hy_ref, vj_ref, vi_ref, o1_ref, o2_ref,
+    acc_ref, kprev_ref, vjprev_ref, viprev_ref,
+    *, kind, nj, cross_fn, k_real, k_pad,
+):
+    """Two-output rectangular body: one K_IJ materialization, both products.
+
+    ``_body_sym`` without the circulant pairing: the grid is the full
+    (nt_i, nt_j) rectangle of an OFF-DIAGONAL band pair, every tile is
+    active and mirrored (no diagonal, no double-cover), so the masks
+    reduce away. Each tile contributes K@V_j to out1[i] (row scratch
+    accumulator) and KᵀV_i to the out2 mirror window (resident — sized
+    by the J band, not the whole operator, which is what lets the banded
+    driver scale past the VMEM window limit). Same software-pipelined
+    epilogue: tile j−1's exp + contractions run under tile j's MXU cross
+    passes; j = 0 zeroes the stored copies so warm-up is branch-free.
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    f32 = jnp.float32
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _():
+        o2_ref[:] = jnp.zeros_like(o2_ref)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        kprev_ref[:] = jnp.zeros_like(kprev_ref)
+        vjprev_ref[:] = jnp.zeros_like(vjprev_ref)
+        viprev_ref[:] = jnp.zeros_like(viprev_ref)
+
+    cross = cross_fn((x_ref, y_ref))
+
+    # epilogue of the PREVIOUS tile (j-1) in this row — overlaps the MXU
+    jprev = jnp.maximum(j - 1, 0)
+    _sym_epilogue(
+        kind, acc_ref, o2_ref, kprev_ref, vjprev_ref, viprev_ref, jprev,
+        k_real, k_pad,
+    )
+
+    kprev_ref[:] = _pre_tile(kind, cross, hx_ref[:], hy_ref[:])
+    vjprev_ref[:] = vj_ref[:].astype(f32)
+    viprev_ref[:] = vi_ref[:].astype(f32)
+
+    @pl.when(j == nj - 1)
+    def _():
+        _sym_epilogue(
+            kind, acc_ref, o2_ref, kprev_ref, vjprev_ref, viprev_ref,
+            jnp.int32(nj - 1), k_real, k_pad,
+        )
+        o1_ref[:] = acc_ref[:].astype(o1_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kind", "compute_dtype", "tile", "interpret")
+)
+def kernel_pair_matmat(
+    kind: str,
+    X1: jax.Array,
+    X2: jax.Array,
+    V2: jax.Array,
+    V1: jax.Array,
+    lengthscale,
+    const_scaling=1.0,
+    compute_dtype: Optional[str] = None,
+    tile: int = 512,
+    interpret: bool = False,
+) -> tuple:
+    """``(c·K @ V2, c·Kᵀ @ V1)`` with ``K = k(X1, X2)`` materialized ONCE.
+
+    The building block of the banded symmetric driver: for an
+    off-diagonal band pair of one data set, K_IJ and K_JIᵀ are the same
+    matrix, so serving both directions from one tile materialization
+    halves the n² exp + MXU cross work exactly as the triangle kernel
+    does — but with the resident mirror window sized to the J band
+    (4·n2·k bytes) instead of the whole operator. Returns f32 outputs
+    of shape (n1, k) and (n2, k). Dot-path kernels only; accuracy is the
+    tier's, identical to the general kernel.
+    """
+    if V2.ndim == 1:
+        V2 = V2[:, None]
+    if V1.ndim == 1:
+        V1 = V1[:, None]
+    n1, d = X1.shape
+    n2 = X2.shape[0]
+    k = V2.shape[1]
+    cd = normalize_compute_dtype(compute_dtype)
+    T = tile
+
+    Xc, YcT, hx, hyT = _norms_and_operands(
+        kind, scale_inputs(X1, lengthscale), scale_inputs(X2, lengthscale)
+    )
+    Xc, YcT = _fold_tier_operands(Xc, YcT, cd)
+    Xc = _pad_axis(_pad_axis(Xc, T, 0), 128, 1)
+    YcT = _pad_axis(_pad_axis(YcT, 128, 0), T, 1)
+    hx = _pad_axis(hx, T, 0)
+    hyT = _pad_axis(hyT, T, 1)
+    k_pad = k  # see kernel_matvec_symmetric: no sublane padding of k
+    V1p = _pad_axis(V1.astype(jnp.float32), T, 0)  # (n1_p, k)
+    V2p = _pad_axis(V2.astype(jnp.float32), T, 0)  # (n2_p, k)
+
+    n1_p, d_p = Xc.shape
+    n2_p = YcT.shape[1]
+    nt1, nt2 = n1_p // T, n2_p // T
+
+    out1, out2 = pl.pallas_call(
+        functools.partial(
+            _body_pair, kind=kind, nj=nt2, cross_fn=_cross_bf16,
+            k_real=k, k_pad=k_pad,
+        ),
+        grid=(nt1, nt2),
+        in_specs=[
+            pl.BlockSpec((T, d_p), lambda i, j: (i, 0)),
+            pl.BlockSpec((d_p, T), lambda i, j: (0, j)),
+            pl.BlockSpec((T, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, T), lambda i, j: (0, j)),
+            pl.BlockSpec((k_pad, T), lambda i, j: (0, j)),  # V2^T
+            pl.BlockSpec((T, k_pad), lambda i, j: (i, 0)),  # V1
+        ],
+        out_specs=[
+            pl.BlockSpec((T, k_pad), lambda i, j: (i, 0)),
+            pl.BlockSpec((nt2 * k_pad, T), lambda i, j: (0, 0)),  # mirror
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n1_p, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((nt2 * k_pad, T), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((T, k_pad), jnp.float32),  # acc
+            pltpu.VMEM((T, T), jnp.float32),  # kprev
+            pltpu.VMEM((k_pad, T), jnp.float32),  # vjprev
+            pltpu.VMEM((T, k_pad), jnp.float32),  # viprev
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=n1_p * n2_p * (d_p + 4 * k_pad),
+            bytes_accessed=(n1_p * d_p + n2_p * d_p
+                            + 4 * (n1_p + n2_p) * k_pad) * 4,
+            transcendentals=n1_p * n2_p,
+        ),
+        interpret=interpret,
+    )(Xc, YcT, hx, hyT, V2p.T, V1p)
+
+    mirror = out2.reshape(nt2, k_pad, T).transpose(0, 2, 1).reshape(
+        n2_p, k_pad
+    )
+    c = jnp.asarray(const_scaling, jnp.float32)
+    return out1[:n1, :k] * c, mirror[:n2, :k] * c
+
+
+def _sym_band_rows(depth: int, k: int, tile: int = 512) -> int:
+    """Largest tile-multiple band height whose mirror window fits VMEM."""
+    return max(
+        tile, _sym_window_budget_bytes(depth, tile) // (4 * k) // tile * tile
+    )
+
+
+# Band count cap: pairs grow as nb²/2 separate pallas calls in one trace
+# (compile time + HBM re-reads of the band operands). 16 bands covers
+# n ≈ 35M at k=1 before the banded path stops claiming eligibility.
+_SYM_MAX_BANDS = 16
+
+
+def kernel_symmetric_banded_supported(
+    n: int, d: int, k: int, kind: str, compute_dtype,
+    compensated: bool = False,
+) -> bool:
+    """Whether the banded symmetric driver applies: same dot-path / k ≤ 8 /
+    depth ≤ 512 gates as the single-window triangle kernel, with the
+    window constraint relaxed to PER-BAND (any n up to the band-count
+    cap). The single-window predicate implies this one."""
+    if compensated or k > 8 or kind == "laplace":
+        return False
+    try:
+        cd = normalize_compute_dtype(compute_dtype)
+    except ValueError:
+        return False
+    passes = {None: 6, "bf16x3": 3, "bfloat16": 1}[cd]
+    depth = _round_up(passes * d, 128)
+    if depth > 512:
+        return False
+    band = _sym_band_rows(depth, k)
+    return -(-n // band) <= _SYM_MAX_BANDS
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "kind", "compute_dtype", "tile", "interpret", "band_rows"
+    ),
+)
+def kernel_matmat_symmetric_banded(
+    kind: str,
+    X: jax.Array,
+    v: jax.Array,
+    lengthscale,
+    const_scaling=1.0,
+    compute_dtype: Optional[str] = None,
+    tile: int = 512,
+    interpret: bool = False,
+    band_rows: Optional[int] = None,
+) -> jax.Array:
+    """``c·k(X, X) @ V`` at half work for operators PAST the VMEM window.
+
+    The single-call triangle kernel (:func:`kernel_matvec_symmetric`)
+    keeps its whole mirror accumulator resident in VMEM, capping n·k.
+    This driver partitions the rows into bands sized to that window,
+    then covers the Gram block structure exactly once: diagonal bands
+    through the triangle kernel, each off-diagonal band pair through
+    :func:`kernel_pair_matmat` (one K_IJ materialization serving both
+    K_IJ@V_J and K_IJᵀ@V_I). Total transcendental + MXU cross work is
+    ~half the general kernel's at ANY n; the extra cost vs the
+    single-window path is re-reading band operands O(nb·n·d) — negligible
+    against the O(n²) tile work. Accuracy: identical tier formulas; the
+    banded accumulation order differs from the general kernel's by f32
+    rounding only.
+    """
+    squeeze = v.ndim == 1
+    V = v[:, None] if squeeze else v
+    n = X.shape[0]
+    k = V.shape[1]
+    cd = normalize_compute_dtype(compute_dtype)
+    passes = {None: 6, "bf16x3": 3, "bfloat16": 1}[cd]
+    band = band_rows or _sym_band_rows(
+        _round_up(passes * X.shape[1], 128), k, tile
+    )
+    nb = -(-n // band)
+
+    if nb == 1:
+        out = kernel_matvec_symmetric(
+            kind, X, V, lengthscale, const_scaling,
+            compute_dtype=compute_dtype, tile=tile, interpret=interpret,
+        )
+        return out[:, 0] if squeeze else out
+
+    bounds = [(a * band, min((a + 1) * band, n)) for a in range(nb)]
+    outs = [jnp.zeros((hi - lo, k), jnp.float32) for lo, hi in bounds]
+    for a, (lo_a, hi_a) in enumerate(bounds):
+        Xa = X[lo_a:hi_a]
+        outs[a] = outs[a] + kernel_matvec_symmetric(
+            kind, Xa, V[lo_a:hi_a], lengthscale, const_scaling,
+            compute_dtype=compute_dtype, tile=tile, interpret=interpret,
+        ).astype(jnp.float32)
+        for b in range(a + 1, nb):
+            lo_b, hi_b = bounds[b]
+            o_a, o_b = kernel_pair_matmat(
+                kind, Xa, X[lo_b:hi_b], V[lo_b:hi_b], V[lo_a:hi_a],
+                lengthscale, const_scaling, compute_dtype=compute_dtype,
+                tile=tile, interpret=interpret,
+            )
+            outs[a] = outs[a] + o_a
+            outs[b] = outs[b] + o_b
+    out = jnp.concatenate(outs, axis=0).astype(v.dtype)
     return out[:, 0] if squeeze else out
 
 

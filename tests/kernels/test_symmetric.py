@@ -15,7 +15,10 @@ import pytest
 
 from rlaopt_tpu.ops.kernel_pallas import (
     kernel_matmat_pallas,
+    kernel_matmat_symmetric_banded,
     kernel_matvec_symmetric,
+    kernel_pair_matmat,
+    kernel_symmetric_banded_supported,
     kernel_symmetric_supported,
 )
 
@@ -50,6 +53,21 @@ def test_symmetric_matches_general_same_tier(n, tile, kind, cd):
     assert rel < 3e-6, (n, tile, kind, cd, rel)
 
 
+@pytest.mark.parametrize("kind", ["matern12", "matern52"])
+def test_symmetric_multi_rhs_matern(kind):
+    """Multi-RHS triangle kernel on the matern tile formulas (the sqrt
+    epilogue differs from rbf's exp)."""
+    n, d, k = 700, 11, 4
+    X = jax.random.normal(KEY, (n, d), jnp.float32)
+    V = jax.random.normal(jax.random.fold_in(KEY, 3), (n, k), jnp.float32)
+    got = kernel_matvec_symmetric(
+        kind, X, V, 1.7, 1.0, tile=256, interpret=True
+    )
+    ref = kernel_matmat_pallas(kind, X, X, V, 1.7, 1.0, interpret=True)
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert rel < 3e-6, (kind, rel)
+
+
 @pytest.mark.parametrize("k", [1, 2, 5, 8])
 @pytest.mark.parametrize("cd", [None, "bf16x3"])
 def test_symmetric_multi_rhs_matches_general(k, cd):
@@ -77,14 +95,86 @@ def test_supported_predicate():
     # laplace: feature-blocked body, any d (k=1 only)
     assert kernel_symmetric_supported(10**6, 512, 1, "laplace", None)
     assert not kernel_symmetric_supported(10**5, 512, 2, "laplace", None)
-    # multi-column RHS within the window budget (4*n*k bytes <= 6 MB)
+    # multi-column RHS within the depth-aware window budget
     assert kernel_symmetric_supported(10**5, 28, 8, "rbf", None)
     assert not kernel_symmetric_supported(10**5, 28, 9, "rbf", None)  # k > 8
-    # k=2 at n=1M: the window (8 MB) exceeds the budget -> general kernel
-    assert not kernel_symmetric_supported(10**6, 28, 2, "rbf", "bf16x3")
+    # d=28 bf16x3 is depth 128: ~8.5 MiB of window -> k=2 fits at n=1M,
+    # k=3 (12 MiB) does not
+    assert kernel_symmetric_supported(10**6, 28, 2, "rbf", "bf16x3")
+    assert not kernel_symmetric_supported(10**6, 28, 3, "rbf", "bf16x3")
     # compensated, huge depth, huge n: all fall back to the general kernel
     assert not kernel_symmetric_supported(
         10**6, 28, 1, "rbf", None, compensated=True
     )
     assert not kernel_symmetric_supported(10**6, 512, 1, "rbf", None)
     assert not kernel_symmetric_supported(4 * 10**6, 28, 1, "rbf", None)
+
+
+@pytest.mark.parametrize("n1,n2", [(300, 500), (512, 512), (700, 260)])
+@pytest.mark.parametrize("cd", [None, "bf16x3"])
+def test_pair_kernel_matches_two_general_calls(n1, n2, cd):
+    """One K_IJ materialization serving both products == two general
+    kernels, at the same tier; ragged and exact-tile band shapes."""
+    d, k = 9, 3
+    X1 = jax.random.normal(KEY, (n1, d), jnp.float32)
+    X2 = jax.random.normal(jax.random.fold_in(KEY, 1), (n2, d), jnp.float32)
+    V2 = jax.random.normal(jax.random.fold_in(KEY, 2), (n2, k), jnp.float32)
+    V1 = jax.random.normal(jax.random.fold_in(KEY, 3), (n1, k), jnp.float32)
+    o1, o2 = kernel_pair_matmat(
+        "rbf", X1, X2, V2, V1, 1.4, 1.2, compute_dtype=cd, tile=256,
+        interpret=True,
+    )
+    r1 = kernel_matmat_pallas(
+        "rbf", X1, X2, V2, 1.4, 1.2, compute_dtype=cd, interpret=True
+    )
+    r2 = kernel_matmat_pallas(
+        "rbf", X2, X1, V1, 1.4, 1.2, compute_dtype=cd, interpret=True
+    )
+    for got, ref in ((o1, r1), (o2, r2)):
+        rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+        assert rel < 3e-6, (n1, n2, cd, rel)
+
+
+@pytest.mark.parametrize("n,band", [(900, 512), (1536, 512), (1100, 256)])
+@pytest.mark.parametrize("kind", ["rbf", "matern32"])
+def test_banded_symmetric_matches_general(n, band, kind):
+    """Multi-band driver (diagonal triangles + off-diagonal pairs) == the
+    general kernel; ragged tail bands and 2-3 band counts."""
+    d, k = 9, 2
+    X = jax.random.normal(KEY, (n, d), jnp.float32)
+    V = jax.random.normal(jax.random.fold_in(KEY, 5), (n, k), jnp.float32)
+    got = kernel_matmat_symmetric_banded(
+        kind, X, V, 1.4, 1.1, tile=256, interpret=True, band_rows=band
+    )
+    ref = kernel_matmat_pallas(kind, X, X, V, 1.4, 1.1, interpret=True)
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert rel < 3e-6, (n, band, kind, rel)
+
+
+def test_banded_symmetric_1d_rhs_and_single_band():
+    n, d = 700, 9
+    X = jax.random.normal(KEY, (n, d), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(KEY, 6), (n,), jnp.float32)
+    got = kernel_matmat_symmetric_banded(
+        "rbf", X, v, 1.4, 1.0, tile=256, interpret=True
+    )
+    assert got.shape == (n,)
+    ref = kernel_matmat_pallas("rbf", X, X, v, 1.4, 1.0, interpret=True)
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert rel < 3e-6
+
+
+def test_banded_supported_predicate():
+    # any n the single-window predicate accepts is banded-eligible too
+    assert kernel_symmetric_banded_supported(10**6, 28, 1, "rbf", "bf16x3")
+    # past the single-window cap: banded takes over
+    assert not kernel_symmetric_supported(4 * 10**6, 28, 1, "rbf", None)
+    assert kernel_symmetric_banded_supported(4 * 10**6, 28, 1, "rbf", None)
+    assert kernel_symmetric_banded_supported(10**7, 50, 1, "rbf", "bf16x3")
+    assert kernel_symmetric_banded_supported(10**6, 28, 3, "rbf", "bf16x3")
+    # same hard gates as the triangle kernel
+    assert not kernel_symmetric_banded_supported(10**6, 28, 9, "rbf", None)
+    assert not kernel_symmetric_banded_supported(10**6, 512, 1, "rbf", None)
+    assert not kernel_symmetric_banded_supported(10**6, 28, 1, "laplace", None)
+    # band-count cap: k=8 shrinks bands 8x
+    assert not kernel_symmetric_banded_supported(10**8, 28, 8, "rbf", None)
