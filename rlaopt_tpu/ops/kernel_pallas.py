@@ -1137,9 +1137,14 @@ def _body_sym(
         o1_ref[:] = acc_ref[:].astype(o1_ref.dtype)
 
 
-# Laplace keeps its original flat window budget (feature-blocked body,
-# different scratch mix).
-_SYM_OUT2_BUDGET_BYTES = 6 * 1024 * 1024
+# Laplace flat window budget (feature-blocked body, different scratch
+# mix; its pallas_call already runs at the raised 64 MiB scoped limit).
+_SYM_OUT2_BUDGET_BYTES = 40 * 1024 * 1024
+
+# The symmetric kernels raise Mosaic's scoped-VMEM limit from the 16 MiB
+# default: v5e VMEM is 128 MB, and the Laplace symmetric kernel has run
+# at a 64 MiB scoped allocation on the real chip since round 3.
+_SYM_VMEM_LIMIT_BYTES = 64 * 1024 * 1024
 
 
 def _sym_window_budget_bytes(depth: int, tile: int = 512) -> int:
@@ -1149,13 +1154,17 @@ def _sym_window_budget_bytes(depth: int, tile: int = 512) -> int:
     bf16 operand blocks (x and y, double-buffered: 2·2·tile·depth·2 B),
     the kprev f32 scratch tile (4·tile²), and ~2 live f32 (T, T)
     intermediates during the cross/exp epilogue (8·tile²). Subtracting
-    those from a 12 MiB base (1 MiB under the select_tiles budget, since
-    the constant-index-map window is outside its validated model) gives
-    the window room: ~8.5 MiB at depth 128 (the d=28 flagship — enough
-    for k=2 at n=1M), ~7 MiB at the depth-512 cap."""
+    those from a 40 MiB base (the pallas_call requests a 64 MiB scoped
+    limit — see ``_SYM_VMEM_LIMIT_BYTES`` — leaving 24 MiB of headroom
+    for Mosaic's own temporaries) gives the window room: ~36 MiB at
+    depth 128 (the d=28 flagship — k=1 single-window to n ≈ 9M, k=8 at
+    n=1M), ~34 MiB at the depth-512 cap. NOTE: on runtimes with an
+    execution watchdog (~80-90 s on the tunneled v5e) a single triangle
+    sweep is itself time-bounded near n ≈ 7M; the predicate gates VMEM
+    fit only."""
     streams = 2 * 2 * tile * depth * 2
     tiles_f32 = 12 * tile * tile
-    return 12 * 1024 * 1024 - streams - tiles_f32
+    return 40 * 1024 * 1024 - streams - tiles_f32
 
 
 def kernel_symmetric_supported(
@@ -1279,6 +1288,7 @@ def kernel_matvec_symmetric(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_SYM_VMEM_LIMIT_BYTES,
         ),
         cost_estimate=pl.CostEstimate(
             flops=n_p * n_p * (d_p + 2 * k_pad),
@@ -1436,6 +1446,7 @@ def kernel_pair_matmat(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_SYM_VMEM_LIMIT_BYTES,
         ),
         cost_estimate=pl.CostEstimate(
             flops=n1_p * n2_p * (d_p + 4 * k_pad),

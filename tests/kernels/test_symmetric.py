@@ -98,16 +98,16 @@ def test_supported_predicate():
     # multi-column RHS within the depth-aware window budget
     assert kernel_symmetric_supported(10**5, 28, 8, "rbf", None)
     assert not kernel_symmetric_supported(10**5, 28, 9, "rbf", None)  # k > 8
-    # d=28 bf16x3 is depth 128: ~8.5 MiB of window -> k=2 fits at n=1M,
-    # k=3 (12 MiB) does not
-    assert kernel_symmetric_supported(10**6, 28, 2, "rbf", "bf16x3")
-    assert not kernel_symmetric_supported(10**6, 28, 3, "rbf", "bf16x3")
+    # d=28 bf16x3 is depth 128: ~36.5 MiB of window at the 64 MiB scoped
+    # limit -> the full k=8 fits at n=1M; k=1 reaches n ~ 9M
+    assert kernel_symmetric_supported(10**6, 28, 8, "rbf", "bf16x3")
+    assert kernel_symmetric_supported(4 * 10**6, 28, 1, "rbf", None)
     # compensated, huge depth, huge n: all fall back to the general kernel
     assert not kernel_symmetric_supported(
         10**6, 28, 1, "rbf", None, compensated=True
     )
     assert not kernel_symmetric_supported(10**6, 512, 1, "rbf", None)
-    assert not kernel_symmetric_supported(4 * 10**6, 28, 1, "rbf", None)
+    assert not kernel_symmetric_supported(10**7, 28, 1, "rbf", None)
 
 
 @pytest.mark.parametrize("n1,n2", [(300, 500), (512, 512), (700, 260)])
@@ -168,10 +168,10 @@ def test_banded_supported_predicate():
     # any n the single-window predicate accepts is banded-eligible too
     assert kernel_symmetric_banded_supported(10**6, 28, 1, "rbf", "bf16x3")
     # past the single-window cap: banded takes over
-    assert not kernel_symmetric_supported(4 * 10**6, 28, 1, "rbf", None)
-    assert kernel_symmetric_banded_supported(4 * 10**6, 28, 1, "rbf", None)
+    assert not kernel_symmetric_supported(10**7, 28, 1, "rbf", None)
+    assert kernel_symmetric_banded_supported(10**7, 28, 1, "rbf", None)
     assert kernel_symmetric_banded_supported(10**7, 50, 1, "rbf", "bf16x3")
-    assert kernel_symmetric_banded_supported(10**6, 28, 3, "rbf", "bf16x3")
+    assert kernel_symmetric_banded_supported(4 * 10**6, 28, 3, "rbf", "bf16x3")
     # same hard gates as the triangle kernel
     assert not kernel_symmetric_banded_supported(10**6, 28, 9, "rbf", None)
     assert not kernel_symmetric_banded_supported(10**6, 512, 1, "rbf", None)
