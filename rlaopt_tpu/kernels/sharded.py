@@ -100,9 +100,12 @@ class ShardedKernelLinOp(ShardedLinOp):
         ls = jnp.broadcast_to(kernel_config.lengthscale_array(A1.dtype), (d,))
 
         A1p, _ = pad_to_multiple(jnp.asarray(A1), ndev, axis=0)
-        A2p, _ = pad_to_multiple(jnp.asarray(A2), ndev, axis=0)
         X1 = jax.device_put(A1p, NamedSharding(mesh, P(axis, None)))
-        X2s = jax.device_put(A2p, NamedSharding(mesh, P(axis, None)))
+        if A1 is A2:
+            A2p, X2s = A1p, X1  # one data set: share the device buffer
+        else:
+            A2p, _ = pad_to_multiple(jnp.asarray(A2), ndev, axis=0)
+            X2s = jax.device_put(A2p, NamedSharding(mesh, P(axis, None)))
         ls = jax.device_put(ls, NamedSharding(mesh, P()))
 
         data = {"X1": X1, "X2s": X2s, "ls": ls}
@@ -123,8 +126,78 @@ class ShardedKernelLinOp(ShardedLinOp):
             a: [(i, (i + 1) % mesh.shape[a]) for i in range(mesh.shape[a])]
             for a in axes
         }
+        # Symmetric half-ring: one data set (A1 is A2) on a 1-D ring lets
+        # every unordered shard pair be visited ONCE (see mv_sym below).
+        symmetric = A1 is A2
+        sym_ring = (
+            memory_mode == "ring" and symmetric and len(axes) == 1 and ndev > 1
+        )
 
-        if memory_mode == "ring":
+        if sym_ring:
+            from ..ops.kernel_dispatch import kernel_pair
+
+            P_ = ndev
+            ns = P_ // 2 + 1 if P_ % 2 == 0 else (P_ + 1) // 2
+            ax = axes[0]
+            back = [(i, (i - (ns - 1)) % P_) for i in range(P_)]
+
+            def mv(dd, v_loc):
+                """Symmetric ring sweep: ~half the kernel evaluations.
+
+                The Gram matrix of one data set is symmetric across shards
+                too: block K_pq serves both K_pq@v_q → out_p and
+                K_pqᵀ@v_p → out_q. Device p starts with its own
+                (X shard, v shard, zero mirror accumulator) as the rotating
+                carry; after s forward rotations it holds shard q = p−s and
+                computes BOTH products of the pair {p, q} in one
+                materialization (``kernel_pair`` — fused two-output Pallas
+                kernel on TPU), adding the mirror product to the carried
+                accumulator of shard q. Steps run s = 1..⌈P/2⌉−1 (each
+                unordered pair exactly once; for even P the antipodal step
+                is double-covered and gated to p < P/2), then ONE
+                ppermute delivers every mirror accumulator home. The
+                diagonal block runs locally through the triangle kernel.
+                vs the full ring: ~2× fewer kernel values and ⌈P/2⌉ hops
+                instead of P−1 (the carry is ~1.5× heavier: +mirror rows).
+                """
+                squeeze = v_loc.ndim == 1
+                V = v_loc[:, None] if squeeze else v_loc
+                out = kernel_matmat(
+                    kind, dd["X1"], dd["X1"], V, dd["ls"],
+                    impl=impl, compute_dtype=compute_dtype, symmetric=True,
+                )
+                idx = jax.lax.axis_index(ax)
+
+                def step(carry, s):
+                    (xq, vq, mir), acc = carry
+                    xq, vq, mir = jax.tree_util.tree_map(
+                        lambda t: jax.lax.ppermute(t, ax, rings[ax]),
+                        (xq, vq, mir),
+                    )
+                    if P_ % 2 == 0:
+                        g = jnp.logical_or(
+                            s < ns - 1, idx < P_ // 2
+                        ).astype(V.dtype)
+                    else:
+                        g = jnp.asarray(1.0, V.dtype)
+                    o_p, o_q = kernel_pair(
+                        kind, dd["X1"], xq, vq * g, V * g, dd["ls"],
+                        impl=impl, compute_dtype=compute_dtype,
+                    )
+                    return ((xq, vq, mir + o_q.astype(mir.dtype)),
+                            acc + o_p.astype(acc.dtype)), None
+
+                carry0 = ((dd["X1"], V, jnp.zeros_like(V)), out)
+                ((_, _, mir), out), _ = jax.lax.scan(
+                    step, carry0, jnp.arange(1, ns)
+                )
+                # mirror of shard q sits ns-1 hops ahead; one permute home
+                out = out + jax.lax.ppermute(mir, ax, back)
+                return out[:, 0] if squeeze else out
+
+            rmv = mv  # square symmetric Gram: Kᵀ = K
+
+        elif memory_mode == "ring":
 
             def _sweep(rotating, stationary, visit):
                 """Visit every shard position once.

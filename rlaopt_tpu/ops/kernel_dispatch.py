@@ -10,7 +10,7 @@ import jax.numpy as jnp
 from .kernel_xla import kernel_matmat_xla
 
 
-__all__ = ["kernel_matmat"]
+__all__ = ["kernel_matmat", "kernel_pair"]
 
 # Feature-dimension cap for holding (tile, d) operands in VMEM.
 _PALLAS_MAX_D = 2048
@@ -81,6 +81,53 @@ def kernel_matmat(
     if impl == "xla":
         return kernel_matmat_xla(kind, X1, X2, V, lengthscale, const_scaling)
     raise ValueError(f"Unknown kernel impl {impl!r}")
+
+
+def kernel_pair(
+    kind: str,
+    X1: jax.Array,
+    X2: jax.Array,
+    V2: jax.Array,
+    V1: jax.Array,
+    lengthscale,
+    const_scaling=1.0,
+    impl: str = "auto",
+    compute_dtype=None,
+):
+    """``(c·K @ V2, c·Kᵀ @ V1)`` with ``K = k(X1, X2)``, K evaluated ONCE
+    when the Pallas pair kernel applies (dot-path kind, k ≤ 8, the X2-side
+    mirror window within the VMEM budget); otherwise two streaming calls.
+    The building block of the symmetric ring schedule in
+    :class:`rlaopt_tpu.kernels.sharded.ShardedKernelLinOp`.
+    """
+    k = 1 if V2.ndim == 1 else V2.shape[1]
+    if impl == "auto":
+        use_pallas = _on_tpu() and X1.shape[1] <= _PALLAS_MAX_D
+        impl = "pallas" if use_pallas else "xla"
+    if impl == "pallas":
+        from .kernel_pallas import (
+            kernel_pair_matmat,
+            kernel_symmetric_supported,
+        )
+
+        # same gates as the triangle kernel, with the resident mirror
+        # window sized by the X2 side (dot-path only: no laplace pair body)
+        if kind != "laplace" and kernel_symmetric_supported(
+            X2.shape[0], X1.shape[1], k, kind, compute_dtype
+        ):
+            return kernel_pair_matmat(
+                kind, X1, X2, V2, V1, lengthscale, const_scaling,
+                compute_dtype=compute_dtype,
+            )
+    o1 = kernel_matmat(
+        kind, X1, X2, V2, lengthscale, const_scaling,
+        impl=impl, compute_dtype=compute_dtype,
+    )
+    o2 = kernel_matmat(
+        kind, X2, X1, V1, lengthscale, const_scaling,
+        impl=impl, compute_dtype=compute_dtype,
+    )
+    return o1, o2
 
 
 def kernel_matmat_compensated(

@@ -889,7 +889,18 @@ def kernel_matmat_pallas(
         nj = YcT.shape[1] // tile_n
         if concat3 or concat6:
             inputs = [Xc, YcT]  # concatenated bf16 split arrangement
-            if k_p8 <= 16:
+            # Measured dispatch (benchmarks/ACC_MODE_r3.json): the VPU
+            # lane-reduce wins for k <= 8 at every depth and tier; at
+            # k in (8, 16] its ~2k ops/value epilogue stops hiding under
+            # the MXU window when the concat depth is <= 256 (1-2 cross
+            # passes) — there the padded MXU contraction pass is cheaper
+            # (bf16x3 d=28 k=16: split 2.07 vs vpu 2.40 ms/sweep; the
+            # crossover sits between depth 256 and 384). concat6 keeps
+            # the VPU through k=16: its MXU window is 2x concat3's, and
+            # "split" is not tier-matched for the exact tier.
+            if k_p8 <= 8 or (
+                k_p8 <= 16 and (concat6 or Xc.shape[1] > 256)
+            ):
                 default_acc = ("vpu", k)
             else:
                 # tier-matched RHS contraction on the K tile (f32 either way)

@@ -31,7 +31,16 @@ def make_mesh(
     axis: str = "i",
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a 1-D mesh over ``n_devices`` (default: all local devices)."""
+    """Build a 1-D mesh over ``n_devices`` (default: all local devices).
+
+    WARNING: on the XLA:CPU backend (forced host devices), ``ppermute``
+    over a mesh built on a proper SUBSET of the platform's devices is
+    unreliable — measured flaky heap corruption (glibc aborts) and wrong
+    collective results. Ring-mode operators should use all devices of
+    the platform; to exercise a smaller ring, launch a process with
+    ``--xla_force_host_platform_device_count=<n>`` instead (see
+    tests/parallel/test_sharded.py::TestSymmetricRing).
+    """
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:

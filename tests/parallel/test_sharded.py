@@ -335,3 +335,93 @@ class TestRingMode:
         K = compute_kernel_matrix("rbf", X, X, 1.0)
         W_true = np.linalg.solve(K + reg * np.eye(n), np.asarray(B))
         assert np.linalg.norm(W - W_true) / np.linalg.norm(W_true) < 1e-6
+
+
+class TestSymmetricRing:
+    """One data set (A1 is A2) in ring mode takes the symmetric half-ring:
+    each unordered shard pair is visited once (its K block serving both
+    directions via the fused pair kernel), the diagonal runs the triangle
+    kernel locally, and one final ppermute delivers the mirror
+    accumulators home. Must match the dense Gram exactly (CPU: the pair
+    dispatch falls back to two streaming calls — the schedule, gating,
+    and routing are what's under test here)."""
+
+    @pytest.mark.parametrize("n", [64, 43])  # exact / ragged shards
+    def test_matches_dense_even_ring(self, key, mesh, n):
+        d = 4
+        X = jax.random.normal(key, (n, d), dtype=jnp.float64)
+        cfg = KernelConfig(const_scaling=1.1, lengthscale=0.8)
+        A = ShardedRBFLinOp(X, X, cfg, mesh=mesh, memory_mode="ring")
+        K = compute_kernel_matrix("rbf", X, X, 0.8, const_scaling=1.1)
+        v = np.linspace(-1, 1, n)
+        V = np.stack([v, v**2, np.ones(n)], axis=1)
+        assert np.allclose(A @ jnp.asarray(v), K @ v, rtol=1e-9, atol=1e-9)
+        assert np.allclose(A @ jnp.asarray(V), K @ V, rtol=1e-9, atol=1e-9)
+        # square symmetric Gram: the adjoint is the same sweep
+        assert np.allclose(
+            A.T @ jnp.asarray(v), K @ v, rtol=1e-9, atol=1e-9
+        )
+        assert np.allclose(
+            jnp.asarray(v) @ A, v @ K, rtol=1e-9, atol=1e-9
+        )
+
+    @pytest.mark.slow
+    def test_matches_dense_odd_ring_subprocess(self):
+        """Odd P has no double-covered antipodal step — different gating.
+
+        Runs on a FULL 5-device platform in a subprocess: XLA:CPU
+        ppermute over a mesh built on a SUBSET of the platform's devices
+        corrupts the heap (measured: flaky glibc aborts and wrong
+        results from the pre-existing general ring too), so the odd ring
+        cannot be tested in-process against the 8-device conftest
+        platform. See make_mesh's docstring."""
+        import subprocess
+        import sys
+
+        code = """
+import os
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=5"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp, numpy as np
+from rlaopt_tpu.parallel import make_mesh
+from rlaopt_tpu.kernels import ShardedRBFLinOp, KernelConfig
+from tests.kernels.utils import compute_kernel_matrix
+for n in (40, 43):
+    X = jax.random.normal(jax.random.PRNGKey(0), (n, 4), dtype=jnp.float64)
+    A = ShardedRBFLinOp(X, X, KernelConfig(const_scaling=1.1,
+                        lengthscale=0.8), mesh=make_mesh(),
+                        memory_mode="ring")
+    K = compute_kernel_matrix("rbf", X, X, 0.8, const_scaling=1.1)
+    v = np.linspace(-1, 1, n)
+    got = np.asarray(A @ jnp.asarray(v))
+    rel = np.linalg.norm(got - K @ v) / np.linalg.norm(K @ v)
+    assert rel < 1e-12, (n, rel)
+print("ODD RING OK")
+"""
+        env = {
+            k: v for k, v in __import__("os").environ.items()
+            if not k.startswith(("XLA_", "JAX_"))
+        }
+        res = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            cwd=__import__("os").path.dirname(
+                __import__("os").path.dirname(
+                    __import__("os").path.dirname(
+                        __import__("os").path.abspath(__file__)))),
+            env=env, timeout=300,
+        )
+        assert "ODD RING OK" in res.stdout, res.stdout + res.stderr
+
+    def test_distinct_data_keeps_general_ring(self, key):
+        # A1 is not A2 (even if equal-valued): the general ring runs
+        n, d = 40, 3
+        X = jax.random.normal(key, (n, d), dtype=jnp.float64)
+        X_copy = jnp.array(X)
+        cfg = KernelConfig(lengthscale=1.0)
+        A = ShardedRBFLinOp(X, X_copy, cfg, memory_mode="ring")
+        K = compute_kernel_matrix("rbf", X, X, 1.0)
+        v = np.linspace(0, 1, n)
+        assert np.allclose(A @ jnp.asarray(v), K @ v, rtol=1e-9, atol=1e-9)
