@@ -1065,28 +1065,59 @@ def _fold_tier_operands(Xc, YcT, cd):
 
 def _sym_epilogue(
     kind, acc_ref, o2_ref, kprev_ref, vjprev_ref, viprev_ref, jrow,
-    k_real, k_pad,
+    k_real, k_pad, mirror_mode="vpu",
 ):
-    """Both-triangle contractions of a stored tile (VPU, real cols only).
+    """Both-triangle contractions of a stored tile.
 
     ``kv`` serves K@v_j → acc (this row tile) and Kᵀ@v_i → the o2 mirror
     window at row-block ``jrow`` (one (1, T) row per RHS column, laid out
-    ``jrow·k_pad + c``).
+    ``jrow·k_pad + c``). The forward (acc) side is always the per-column
+    VPU lane reduce. The mirror side reduces along axis 0 — a SUBLANE
+    reduction, ~an order of magnitude slower per element than the lane
+    reduce — so per-column VPU mirrors only pay off at k ≤ 2 (measured:
+    k=1 symmetric 1.62× the general kernel, k=8 0.72×, BENCH r3
+    continuation). ``mirror_mode`` selects the k ≥ 3 alternative: one
+    MXU contraction building the whole (k, T) mirror tile per stored
+    tile — "split" (3-pass bf16 hi/lo, ~2⁻¹⁸, tier-matched for bf16x3)
+    or "fast" (single bf16 pass, for the bfloat16 tier) — plus a single
+    dynamic window update instead of k.
     """
     kv = _finish_pre(kind, kprev_ref[:])
     for c in range(k_real):
         acc_ref[:, c : c + 1] += jnp.sum(
             kv * vjprev_ref[c : c + 1, :], axis=1, keepdims=True
         )
-        o2_ref[pl.ds(jrow * k_pad + c, 1), :] += jnp.sum(
-            kv * viprev_ref[:, c : c + 1], axis=0, keepdims=True
+    if mirror_mode == "vpu":
+        # viprev layout: (T, k_pad)
+        for c in range(k_real):
+            o2_ref[pl.ds(jrow * k_pad + c, 1), :] += jnp.sum(
+                kv * viprev_ref[:, c : c + 1], axis=0, keepdims=True
+            )
+        return
+    f32 = jnp.float32
+    vit = viprev_ref[:]  # transposed layout (k_pad=8, T): standard matmul
+    if mirror_mode == "split":
+        kh = kv.astype(jnp.bfloat16)
+        kl = (kv - kh.astype(f32)).astype(jnp.bfloat16)
+        vh = vit.astype(jnp.bfloat16)
+        vl = (vit - vh.astype(f32)).astype(jnp.bfloat16)
+        mirror = (
+            lax.dot_general(vh, kh, _DN, preferred_element_type=f32)
+            + lax.dot_general(vh, kl, _DN, preferred_element_type=f32)
+            + lax.dot_general(vl, kh, _DN, preferred_element_type=f32)
         )
+    else:  # "fast"
+        mirror = lax.dot_general(
+            vit.astype(jnp.bfloat16), kv.astype(jnp.bfloat16), _DN,
+            preferred_element_type=f32,
+        )
+    o2_ref[pl.ds(jrow * k_pad, k_pad), :] += mirror
 
 
 def _body_sym(
     x_ref, y_ref, hx_ref, hy_ref, vj_ref, vi_ref, o1_ref, o2_ref,
     acc_ref, kprev_ref, vjprev_ref, viprev_ref,
-    *, kind, nt, ns, nt_even, cross_fn, k_real, k_pad,
+    *, kind, nt, ns, nt_even, cross_fn, k_real, k_pad, mirror_mode,
 ):
     """Symmetric-matmat body: each visited tile serves BOTH triangles.
 
@@ -1126,7 +1157,7 @@ def _body_sym(
     jprev = lax.rem(i + jnp.maximum(s - 1, 0), jnp.int32(nt))
     _sym_epilogue(
         kind, acc_ref, o2_ref, kprev_ref, vjprev_ref, viprev_ref, jprev,
-        k_real, k_pad,
+        k_real, k_pad, mirror_mode,
     )
 
     if nt_even:
@@ -1143,7 +1174,7 @@ def _body_sym(
         jlast = lax.rem(i + s, jnp.int32(nt))
         _sym_epilogue(
             kind, acc_ref, o2_ref, kprev_ref, vjprev_ref, viprev_ref,
-            jlast, k_real, k_pad,
+            jlast, k_real, k_pad, mirror_mode,
         )
         o1_ref[:] = acc_ref[:].astype(o1_ref.dtype)
 
@@ -1156,6 +1187,21 @@ _SYM_OUT2_BUDGET_BYTES = 40 * 1024 * 1024
 # default: v5e VMEM is 128 MB, and the Laplace symmetric kernel has run
 # at a 64 MiB scoped allocation on the real chip since round 3.
 _SYM_VMEM_LIMIT_BYTES = 64 * 1024 * 1024
+
+
+def _sym_mirror_mode(cd, k: int) -> str:
+    """Mirror-contraction engine for the triangle/pair epilogue.
+
+    Per-column VPU mirrors (sublane reduces) through k=2; beyond that a
+    tier-matched MXU contraction builds the whole mirror tile. The exact
+    tier has no tier-matched cheap MXU contraction (split is ~2⁻¹⁸), so
+    it keeps the VPU mirror at every k — and the support predicates cap
+    auto-dispatch at k ≤ 2 because that mirror loses past there
+    (measured k=8: 0.83× the general kernel). Direct calls stay
+    tier-true regardless of k."""
+    if k <= 2 or cd is None:
+        return "vpu"
+    return "fast" if cd == "bfloat16" else "split"
 
 
 def _sym_window_budget_bytes(depth: int, tile: int = 512) -> int:
@@ -1199,11 +1245,17 @@ def kernel_symmetric_supported(
         cd = normalize_compute_dtype(compute_dtype)
     except ValueError:
         return False
+    if cd is None and k > 2:
+        # exact tier: no tier-matched cheap MXU mirror contraction, and
+        # the per-column sublane-reduce mirror loses past k=2 (measured
+        # k=8: 0.83x the general kernel)
+        return False
     passes = {None: 6, "bf16x3": 3, "bfloat16": 1}[cd]
     depth = _round_up(passes * d, 128)
     if depth > 512:
         return False
-    return 4 * _round_up(n, 512) * k <= _sym_window_budget_bytes(depth)
+    k_pad = k if _sym_mirror_mode(cd, k) == "vpu" else 8
+    return 4 * _round_up(n, 512) * k_pad <= _sym_window_budget_bytes(depth)
 
 
 @functools.partial(
@@ -1257,22 +1309,37 @@ def kernel_matvec_symmetric(
     YcT = _pad_axis(_pad_axis(YcT, 128, 0), T, 1)
     hx = _pad_axis(hx, T, 0)
     hyT = _pad_axis(hyT, T, 1)
-    # No 8-padding of k: full-trailing-axis blocks of width k are legal
-    # (the k=1 original used (T, 1) blocks), and the resident mirror
-    # window scales with k — padding would shrink the supported n by 8x
-    # for the k=1 flagship matvec.
-    k_pad = k
-    Vp = _pad_axis(V.astype(jnp.float32), T, 0)
+    # VPU mirror mode (k <= 2 or exact tier): no 8-padding of k —
+    # full-trailing-axis blocks of width k are legal (the k=1 original
+    # used (T, 1) blocks), and the resident mirror window scales with k;
+    # padding would shrink the supported n by 8x for the k=1 flagship
+    # matvec. MXU mirror mode (bf16 tiers, k >= 3): k pads to 8 so the
+    # V_i blocks arrive TRANSPOSED (8, T) for a standard-shape mirror
+    # matmul and the window's dynamic row writes stay sublane-aligned.
+    mirror_mode = _sym_mirror_mode(cd, k)
+    k_pad = k if mirror_mode == "vpu" else 8
+    Vp = _pad_axis(
+        _pad_axis(V.astype(jnp.float32), T, 0), k_pad, 1
+    )
 
     n_p, d_p = Xc.shape
     nt = n_p // T
     nt_even = nt % 2 == 0
     ns = nt // 2 + 1 if nt_even else (nt + 1) // 2
+    if mirror_mode == "vpu":
+        vi_spec = pl.BlockSpec((T, k_pad), lambda i, s: (i, 0))
+        vi_in = Vp
+        vi_scratch = pltpu.VMEM((T, k_pad), jnp.float32)
+    else:
+        vi_spec = pl.BlockSpec((k_pad, T), lambda i, s: (0, i))
+        vi_in = Vp.T
+        vi_scratch = pltpu.VMEM((k_pad, T), jnp.float32)
 
     out1, out2 = pl.pallas_call(
         functools.partial(
             _body_sym, kind=kind, nt=nt, ns=ns, nt_even=nt_even,
             cross_fn=_cross_bf16, k_real=k, k_pad=k_pad,
+            mirror_mode=mirror_mode,
         ),
         grid=(nt, ns),
         in_specs=[
@@ -1281,7 +1348,7 @@ def kernel_matvec_symmetric(
             pl.BlockSpec((T, 1), lambda i, s: (i, 0)),
             pl.BlockSpec((1, T), lambda i, s: (0, (i + s) % nt)),
             pl.BlockSpec((k_pad, T), lambda i, s: (0, (i + s) % nt)),  # V_j^T
-            pl.BlockSpec((T, k_pad), lambda i, s: (i, 0)),  # V_i
+            vi_spec,  # V_i ((T, k) vpu-mirror layout / (8, T) transposed)
         ],
         out_specs=[
             pl.BlockSpec((T, k_pad), lambda i, s: (i, 0)),
@@ -1295,7 +1362,7 @@ def kernel_matvec_symmetric(
             pltpu.VMEM((T, k_pad), jnp.float32),  # acc (direct)
             pltpu.VMEM((T, T), jnp.float32),  # kprev
             pltpu.VMEM((k_pad, T), jnp.float32),  # vjprev
-            pltpu.VMEM((T, k_pad), jnp.float32),  # viprev
+            vi_scratch,  # viprev (layout matches vi_spec)
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -1307,7 +1374,7 @@ def kernel_matvec_symmetric(
             transcendentals=n_p * n_p // 2,
         ),
         interpret=interpret,
-    )(Xc, YcT, hx, hyT, Vp.T, Vp)
+    )(Xc, YcT, hx, hyT, Vp.T, vi_in)
 
     # mirror window row j·k_pad + c holds column c's contribution to the
     # T output rows of tile j
@@ -1324,7 +1391,7 @@ def kernel_matvec_symmetric(
 def _body_pair(
     x_ref, y_ref, hx_ref, hy_ref, vj_ref, vi_ref, o1_ref, o2_ref,
     acc_ref, kprev_ref, vjprev_ref, viprev_ref,
-    *, kind, nj, cross_fn, k_real, k_pad,
+    *, kind, nj, cross_fn, k_real, k_pad, mirror_mode,
 ):
     """Two-output rectangular body: one K_IJ materialization, both products.
 
@@ -1359,7 +1426,7 @@ def _body_pair(
     jprev = jnp.maximum(j - 1, 0)
     _sym_epilogue(
         kind, acc_ref, o2_ref, kprev_ref, vjprev_ref, viprev_ref, jprev,
-        k_real, k_pad,
+        k_real, k_pad, mirror_mode,
     )
 
     kprev_ref[:] = _pre_tile(kind, cross, hx_ref[:], hy_ref[:])
@@ -1370,7 +1437,7 @@ def _body_pair(
     def _():
         _sym_epilogue(
             kind, acc_ref, o2_ref, kprev_ref, vjprev_ref, viprev_ref,
-            jnp.int32(nj - 1), k_real, k_pad,
+            jnp.int32(nj - 1), k_real, k_pad, mirror_mode,
         )
         o1_ref[:] = acc_ref[:].astype(o1_ref.dtype)
 
@@ -1419,18 +1486,29 @@ def kernel_pair_matmat(
     YcT = _pad_axis(_pad_axis(YcT, 128, 0), T, 1)
     hx = _pad_axis(hx, T, 0)
     hyT = _pad_axis(hyT, T, 1)
-    k_pad = k  # see kernel_matvec_symmetric: no sublane padding of k
-    V1p = _pad_axis(V1.astype(jnp.float32), T, 0)  # (n1_p, k)
-    V2p = _pad_axis(V2.astype(jnp.float32), T, 0)  # (n2_p, k)
+    # layouts: see kernel_matvec_symmetric (vpu mirror keeps k
+    # unpadded; the MXU mirror pads k to 8 and transposes the V1 blocks)
+    mirror_mode = _sym_mirror_mode(cd, k)
+    k_pad = k if mirror_mode == "vpu" else 8
+    V1p = _pad_axis(_pad_axis(V1.astype(jnp.float32), T, 0), k_pad, 1)
+    V2p = _pad_axis(_pad_axis(V2.astype(jnp.float32), T, 0), k_pad, 1)
 
     n1_p, d_p = Xc.shape
     n2_p = YcT.shape[1]
     nt1, nt2 = n1_p // T, n2_p // T
+    if mirror_mode == "vpu":
+        vi_spec = pl.BlockSpec((T, k_pad), lambda i, j: (i, 0))
+        vi_in = V1p
+        vi_scratch = pltpu.VMEM((T, k_pad), jnp.float32)
+    else:
+        vi_spec = pl.BlockSpec((k_pad, T), lambda i, j: (0, i))
+        vi_in = V1p.T
+        vi_scratch = pltpu.VMEM((k_pad, T), jnp.float32)
 
     out1, out2 = pl.pallas_call(
         functools.partial(
             _body_pair, kind=kind, nj=nt2, cross_fn=_cross_bf16,
-            k_real=k, k_pad=k_pad,
+            k_real=k, k_pad=k_pad, mirror_mode=mirror_mode,
         ),
         grid=(nt1, nt2),
         in_specs=[
@@ -1439,7 +1517,7 @@ def kernel_pair_matmat(
             pl.BlockSpec((T, 1), lambda i, j: (i, 0)),
             pl.BlockSpec((1, T), lambda i, j: (0, j)),
             pl.BlockSpec((k_pad, T), lambda i, j: (0, j)),  # V2^T
-            pl.BlockSpec((T, k_pad), lambda i, j: (i, 0)),  # V1
+            vi_spec,  # V1 ((T, k) vpu-mirror layout / (8, T) transposed)
         ],
         out_specs=[
             pl.BlockSpec((T, k_pad), lambda i, j: (i, 0)),
@@ -1453,7 +1531,7 @@ def kernel_pair_matmat(
             pltpu.VMEM((T, k_pad), jnp.float32),  # acc
             pltpu.VMEM((T, T), jnp.float32),  # kprev
             pltpu.VMEM((k_pad, T), jnp.float32),  # vjprev
-            pltpu.VMEM((T, k_pad), jnp.float32),  # viprev
+            vi_scratch,  # viprev (layout matches vi_spec)
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -1466,7 +1544,7 @@ def kernel_pair_matmat(
             transcendentals=n1_p * n2_p,
         ),
         interpret=interpret,
-    )(Xc, YcT, hx, hyT, V2p.T, V1p)
+    )(Xc, YcT, hx, hyT, V2p.T, vi_in)
 
     mirror = out2.reshape(nt2, k_pad, T).transpose(0, 2, 1).reshape(
         n2_p, k_pad
@@ -1502,11 +1580,14 @@ def kernel_symmetric_banded_supported(
         cd = normalize_compute_dtype(compute_dtype)
     except ValueError:
         return False
+    if cd is None and k > 2:
+        return False  # see kernel_symmetric_supported
     passes = {None: 6, "bf16x3": 3, "bfloat16": 1}[cd]
     depth = _round_up(passes * d, 128)
     if depth > 512:
         return False
-    band = _sym_band_rows(depth, k)
+    k_pad = k if _sym_mirror_mode(cd, k) == "vpu" else 8
+    band = _sym_band_rows(depth, k_pad)
     return -(-n // band) <= _SYM_MAX_BANDS
 
 
@@ -1548,8 +1629,9 @@ def kernel_matmat_symmetric_banded(
     k = V.shape[1]
     cd = normalize_compute_dtype(compute_dtype)
     passes = {None: 6, "bf16x3": 3, "bfloat16": 1}[cd]
+    k_pad = k if _sym_mirror_mode(cd, k) == "vpu" else 8
     band = band_rows or _sym_band_rows(
-        _round_up(passes * X.shape[1], 128), k, tile
+        _round_up(passes * X.shape[1], 128), k_pad, tile
     )
     nb = -(-n // band)
 

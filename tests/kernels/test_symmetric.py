@@ -95,9 +95,12 @@ def test_supported_predicate():
     # laplace: feature-blocked body, any d (k=1 only)
     assert kernel_symmetric_supported(10**6, 512, 1, "laplace", None)
     assert not kernel_symmetric_supported(10**5, 512, 2, "laplace", None)
-    # multi-column RHS within the depth-aware window budget
-    assert kernel_symmetric_supported(10**5, 28, 8, "rbf", None)
-    assert not kernel_symmetric_supported(10**5, 28, 9, "rbf", None)  # k > 8
+    # multi-column RHS within the depth-aware window budget; the exact
+    # tier auto-dispatches only to k=2 (its VPU sublane-reduce mirror
+    # loses beyond — measured), the bf16 tiers to k=8 (MXU mirror)
+    assert kernel_symmetric_supported(10**5, 28, 2, "rbf", None)
+    assert not kernel_symmetric_supported(10**5, 28, 3, "rbf", None)
+    assert not kernel_symmetric_supported(10**5, 28, 9, "rbf", "bf16x3")
     # d=28 bf16x3 is depth 128: ~36.5 MiB of window at the 64 MiB scoped
     # limit -> the full k=8 fits at n=1M; k=1 reaches n ~ 9M
     assert kernel_symmetric_supported(10**6, 28, 8, "rbf", "bf16x3")
@@ -130,9 +133,12 @@ def test_pair_kernel_matches_two_general_calls(n1, n2, cd):
     r2 = kernel_matmat_pallas(
         "rbf", X2, X1, V1, 1.4, 1.2, compute_dtype=cd, interpret=True
     )
+    # bf16x3 at k=3 uses the MXU split mirror: one extra ~2^-18-grade
+    # product on a tier whose own accuracy is ~2e-6
+    tol = 8e-6 if cd == "bf16x3" else 3e-6
     for got, ref in ((o1, r1), (o2, r2)):
         rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
-        assert rel < 3e-6, (n1, n2, cd, rel)
+        assert rel < tol, (n1, n2, cd, rel)
 
 
 @pytest.mark.parametrize("n,band", [(900, 512), (1536, 512), (1100, 256)])
