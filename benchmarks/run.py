@@ -343,7 +343,9 @@ def config6_northstar_1m_pcg(max_iters=60):
 
     n = 1_000_000
     key = jax.random.PRNGKey(0)
+    t_data = time.perf_counter()
     X, y, source = _higgs(n)
+    t_data = time.perf_counter() - t_data
     reg = 1e-4 * n
     ls = 28.0**0.5
     # bf16x3 operator tier: the refinement certifies the final answer, so
@@ -384,6 +386,11 @@ def config6_northstar_1m_pcg(max_iters=60):
             "s_per_iter_steady_state": round(med_chunk / 3.0, 2),
             "a100_calibrated_s_per_iter": 7.8,
             "dataset": source,
+            "phase_walls": {
+                "data_gen_excl": round(t_data, 1),
+                **sys_.phase_walls,
+                "refine": log["f64_refine"].get("phase_walls", {}),
+            },
         },
     )
 

@@ -9,6 +9,7 @@ The residual metric computation is jitted; the mask lives host-side (it only
 changes at logging boundaries and gates the compiled solver chunks).
 """
 
+import time
 from functools import partial
 from typing import Any, Callable, Optional
 
@@ -397,10 +398,19 @@ class LinSys(Model):
                 "dense operand"
             )
 
+        _t_init = time.perf_counter()
         solver = _get_solver(
             model=self, W_init=W_init, solver_config=solver_config,
             key=_as_key(key), preconditioner=preconditioner,
         )
+        # Attribute the (possibly large) preconditioner build + solver-state
+        # init to its own phase rather than the first training chunk.
+        jax.block_until_ready(
+            [x for x in jax.tree_util.tree_leaves(
+                (solver.W, getattr(solver, "P", None))
+            ) if isinstance(x, jax.Array)]
+        )
+        phase_walls = {"solver_init": round(time.perf_counter() - _t_init, 3)}
         self._metrics_solver = solver
         self._term_tol = (atol, rtol)
         self._metrics_recurrence = (
@@ -417,6 +427,7 @@ class LinSys(Model):
 
             checkpointer = SolveCheckpointer(checkpoint_dir)
 
+        _t_train = time.perf_counter()
         solution, log = self._train(
             logger=logger,
             termination_fn=termination_fn,
@@ -426,6 +437,10 @@ class LinSys(Model):
             checkpoint_freq=checkpoint_freq or 1,
             resume=resume,
         )
+        phase_walls["train"] = round(time.perf_counter() - _t_train, 3)
+        # Exposed as an attribute (not a log key: log keys are iteration
+        # numbers plus "f64_refine", and consumers max() over them).
+        self.phase_walls = phase_walls
         if f64_refine_rounds > 0:
             solution, refine_log = self._refine_f64(
                 solution, solver_config, f64_refine_rounds, atol, rtol,
@@ -585,8 +600,11 @@ class LinSys(Model):
         b_norms = np.linalg.norm(B64, axis=0)
         W64 = np.asarray(W, np.float64)
         hist = []
+        walls = {"residual_f64": [], "correction_solve": []}
         for rnd in range(rounds):
+            _t = time.perf_counter()
             R64 = B64 - (mm64(W64) + reg * W64)
+            walls["residual_f64"].append(round(time.perf_counter() - _t, 3))
             rel = np.linalg.norm(R64, axis=0) / b_norms
             hist.append(rel.tolist())
             if np.all(np.linalg.norm(R64, axis=0) <= np.maximum(
@@ -620,6 +638,7 @@ class LinSys(Model):
                 rtol=float(np.clip(needed, 1e-7, 0.5)),
                 atol=0.0,
             )
+            _t = time.perf_counter()
             delta, _ = corr.solve(
                 corr_cfg,
                 jnp.zeros_like(jnp.asarray(R64, W.dtype)),
@@ -627,9 +646,14 @@ class LinSys(Model):
                 key=jax.random.fold_in(_as_key(key), rnd + 1),
                 preconditioner=preconditioner,
             )
+            walls["correction_solve"].append(
+                round(time.perf_counter() - _t, 3)
+            )
             W64 = W64 + np.asarray(delta, np.float64)
+        _t = time.perf_counter()
         R64 = B64 - (mm64(W64) + reg * W64)
+        walls["residual_f64"].append(round(time.perf_counter() - _t, 3))
         hist.append((np.linalg.norm(R64, axis=0) / b_norms).tolist())
         # numpy float64 on the host: jnp.asarray would silently truncate to
         # f32 without global x64, discarding the refinement gains.
-        return W64, {"rel_res_f64": hist}
+        return W64, {"rel_res_f64": hist, "phase_walls": walls}

@@ -100,7 +100,8 @@ def kernel_pair(
     The building block of the symmetric ring schedule in
     :class:`rlaopt_tpu.kernels.sharded.ShardedKernelLinOp`.
     """
-    k = 1 if V2.ndim == 1 else V2.shape[1]
+    squeeze = V2.ndim == 1
+    k = 1 if squeeze else V2.shape[1]
     if impl == "auto":
         use_pallas = _on_tpu() and X1.shape[1] <= _PALLAS_MAX_D
         impl = "pallas" if use_pallas else "xla"
@@ -115,10 +116,13 @@ def kernel_pair(
         if kind != "laplace" and kernel_symmetric_supported(
             X2.shape[0], X1.shape[1], k, kind, compute_dtype
         ):
-            return kernel_pair_matmat(
+            o1, o2 = kernel_pair_matmat(
                 kind, X1, X2, V2, V1, lengthscale, const_scaling,
                 compute_dtype=compute_dtype,
             )
+            # The pair kernel always returns (n, k); match the streaming
+            # fallback's rank so callers see one backend-independent shape.
+            return (o1[:, 0], o2[:, 0]) if squeeze else (o1, o2)
     o1 = kernel_matmat(
         kind, X1, X2, V2, lengthscale, const_scaling,
         impl=impl, compute_dtype=compute_dtype,

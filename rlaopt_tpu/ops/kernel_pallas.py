@@ -1045,21 +1045,38 @@ def _fold_tier_operands(Xc, YcT, cd):
     concatenated splits: exact f32 = 6 parts (full Precision.HIGHEST
     emulation), bf16x3 = 3 parts (lo·lo dropped), bfloat16 = the plain
     cast.
+
+    The 128-alignment of the folded depth is appended HERE as zero concat
+    parts so each operand materializes ONCE at its final padded shape.
+    Padding after the concat keeps a second full-size copy of the folded
+    operand alive as an HLO temp — the general kernel measured that at
+    2×4.8 GB (an HBM OOM by itself) at n=10M, and the banded pair driver
+    reaches ~9.7M-row bands. Callers pad the POINT axes (cheap: f32, d
+    features wide) before calling and must not re-pad the depth axis.
     """
-    if cd == "bf16x3":
+    if cd == "bfloat16":
+        xparts = [Xc.astype(jnp.bfloat16)]
+        yparts = [YcT.astype(jnp.bfloat16)]
+    elif cd == "bf16x3":
         xh, xl = _split_bf16(Xc)
         yh, yl = _split_bf16(YcT)
-        return (
-            jnp.concatenate([xh, xh, xl], axis=1),
-            jnp.concatenate([yh, yl, yh], axis=0),
-        )
-    if cd == "bfloat16":
-        return Xc.astype(jnp.bfloat16), YcT.astype(jnp.bfloat16)
-    x1, x2, x3 = _split_bf16_3(Xc)
-    y1, y2, y3 = _split_bf16_3(YcT)
+        xparts, yparts = [xh, xh, xl], [yh, yl, yh]
+    else:
+        x1, x2, x3 = _split_bf16_3(Xc)
+        y1, y2, y3 = _split_bf16_3(YcT)
+        xparts = [x1, x1, x2, x1, x2, x3]
+        yparts = [y1, y2, y1, y3, y2, y1]
+    depth = sum(p.shape[1] for p in xparts)
+    pad_f = _round_up(depth, 128) - depth
+    if pad_f:
+        bf = xparts[0].dtype
+        xparts.append(jnp.zeros((Xc.shape[0], pad_f), bf))
+        yparts.append(jnp.zeros((pad_f, YcT.shape[1]), bf))
+    if len(xparts) == 1:
+        return xparts[0], yparts[0]
     return (
-        jnp.concatenate([x1, x1, x2, x1, x2, x3], axis=1),
-        jnp.concatenate([y1, y2, y1, y3, y2, y1], axis=0),
+        jnp.concatenate(xparts, axis=1),
+        jnp.concatenate(yparts, axis=0),
     )
 
 
@@ -1224,6 +1241,42 @@ def _sym_window_budget_bytes(depth: int, tile: int = 512) -> int:
     return 40 * 1024 * 1024 - streams - tiles_f32
 
 
+def _sym_tier_params(d: int, k: int, cd) -> tuple:
+    """(MXU passes, folded concat depth, padded mirror k) for a tier.
+
+    The single source for these three derived quantities — the support
+    predicates, the banded driver's band sizing, and the kernels must
+    agree on them or dispatch eligibility silently desynchronizes from
+    the actual VMEM footprint."""
+    passes = {None: 6, "bf16x3": 3, "bfloat16": 1}[cd]
+    depth = _round_up(passes * d, 128)
+    k_pad = k if _sym_mirror_mode(cd, k) == "vpu" else 8
+    return passes, depth, k_pad
+
+
+def _sym_tier_gate(d: int, k: int, kind: str, compute_dtype, compensated):
+    """Shared eligibility gates of the symmetric dot-path kernels.
+
+    Returns ``(cd, depth, k_pad)`` when the triangle/pair machinery
+    applies, else None: dot-path kind only, plain accumulation, k ≤ 8,
+    exact tier capped at k ≤ 2 (no tier-matched cheap MXU mirror
+    contraction, and the per-column sublane-reduce mirror loses past
+    k=2 — measured k=8: 0.83× the general kernel), concat depth ≤ 512
+    (fixed T=512 tiles must fit VMEM beside the mirror window)."""
+    if compensated or k > 8 or kind == "laplace":
+        return None
+    try:
+        cd = normalize_compute_dtype(compute_dtype)
+    except ValueError:
+        return None
+    if cd is None and k > 2:
+        return None
+    _, depth, k_pad = _sym_tier_params(d, k, cd)
+    if depth > 512:
+        return None
+    return cd, depth, k_pad
+
+
 def kernel_symmetric_supported(
     n: int, d: int, k: int, kind: str, compute_dtype,
     compensated: bool = False,
@@ -1234,27 +1287,15 @@ def kernel_symmetric_supported(
     accumulation, concat depth ≤ 512 (so the fixed T=512 tiles fit
     VMEM alongside the resident mirror window), and the mirror window
     itself fits the depth-aware budget (:func:`_sym_window_budget_bytes`)."""
-    if compensated or k > 8:
-        return False
     if kind == "laplace":
         # feature-blocked VPU kernel: any d, exp-tier-independent
-        if 4 * _round_up(n, 512) * k > _SYM_OUT2_BUDGET_BYTES:
+        if compensated or k != 1:
             return False
-        return k == 1
-    try:
-        cd = normalize_compute_dtype(compute_dtype)
-    except ValueError:
+        return 4 * _round_up(n, 512) * k <= _SYM_OUT2_BUDGET_BYTES
+    gate = _sym_tier_gate(d, k, kind, compute_dtype, compensated)
+    if gate is None:
         return False
-    if cd is None and k > 2:
-        # exact tier: no tier-matched cheap MXU mirror contraction, and
-        # the per-column sublane-reduce mirror loses past k=2 (measured
-        # k=8: 0.83x the general kernel)
-        return False
-    passes = {None: 6, "bf16x3": 3, "bfloat16": 1}[cd]
-    depth = _round_up(passes * d, 128)
-    if depth > 512:
-        return False
-    k_pad = k if _sym_mirror_mode(cd, k) == "vpu" else 8
+    _cd, depth, k_pad = gate
     return 4 * _round_up(n, 512) * k_pad <= _sym_window_budget_bytes(depth)
 
 
@@ -1285,8 +1326,16 @@ def kernel_matvec_symmetric(
     :func:`kernel_symmetric_supported`; measured on-chip at n=2¹⁷, d=28,
     k=1: 0.434 vs 0.641 ms per 16k²-equivalent sweep (bf16x3, 1.48×) and
     0.589 vs 1.012 (exact tier, 1.72×), agreeing with the general kernel
-    to 3e-7. Accuracy is identical to the general kernel's tier: same
-    tile formulas, same f32 VPU contractions.
+    to 3e-7. Accuracy: for k ≤ 2 (and the exact tier at any k) the tier
+    is exactly the general kernel's — same tile formulas, same f32 VPU
+    contractions. For k ≥ 3 on the bf16 tiers the MIRROR rows (the upper
+    triangle served by transposed tiles) go through an MXU contraction
+    instead: "split" (3-pass bf16 hi/lo, ~2⁻¹⁸ per product — tier-matched
+    for bf16x3, measured ≤8e-6 vs the general kernel) on bf16x3, and a
+    plain bf16 pass on the bfloat16 tier (re-rounds the f32 kernel tile
+    to bf16: ~2⁻⁸-grade extra error on those rows, measured ~2e-3 —
+    within that tier's own ~1e-2 value error, but NOT bit-identical to
+    the general kernel).
     """
     squeeze = v.ndim == 1
     V = v[:, None] if squeeze else v
@@ -1304,9 +1353,11 @@ def kernel_matvec_symmetric(
 
     T = tile
     Xc, YcT, hx, hyT = _norms_and_operands(kind, Xs, Xs)
+    # Point axes padded BEFORE the fold; the fold appends the depth
+    # 128-alignment itself (single materialization — see the helper).
+    Xc = _pad_axis(Xc, T, 0)
+    YcT = _pad_axis(YcT, T, 1)
     Xc, YcT = _fold_tier_operands(Xc, YcT, cd)
-    Xc = _pad_axis(_pad_axis(Xc, T, 0), 128, 1)
-    YcT = _pad_axis(_pad_axis(YcT, 128, 0), T, 1)
     hx = _pad_axis(hx, T, 0)
     hyT = _pad_axis(hyT, T, 1)
     # VPU mirror mode (k <= 2 or exact tier): no 8-padding of k —
@@ -1465,8 +1516,13 @@ def kernel_pair_matmat(
     halves the n² exp + MXU cross work exactly as the triangle kernel
     does — but with the resident mirror window sized to the J band
     (4·n2·k bytes) instead of the whole operator. Returns f32 outputs
-    of shape (n1, k) and (n2, k). Dot-path kernels only; accuracy is the
-    tier's, identical to the general kernel.
+    of shape (n1, k) and (n2, k) — always 2-D, even for 1-D inputs
+    (the :func:`rlaopt_tpu.ops.kernel_dispatch.kernel_pair` wrapper
+    restores 1-D). Dot-path kernels only. Accuracy matches the triangle
+    kernel's contract (see :func:`kernel_matvec_symmetric`): tier-exact
+    for k ≤ 2 / exact tier; the k ≥ 3 bf16-tier MIRROR output (o2) goes
+    through the MXU contraction — "split" ~2⁻¹⁸ on bf16x3, a plain bf16
+    re-round (~2⁻⁸ on those rows) on the bfloat16 tier.
     """
     if V2.ndim == 1:
         V2 = V2[:, None]
@@ -1481,9 +1537,12 @@ def kernel_pair_matmat(
     Xc, YcT, hx, hyT = _norms_and_operands(
         kind, scale_inputs(X1, lengthscale), scale_inputs(X2, lengthscale)
     )
+    # Point axes padded BEFORE the fold (f32, d wide — cheap); the fold
+    # appends the depth 128-alignment itself so the operands materialize
+    # once at final shape (HBM-OOM hazard otherwise, see the helper).
+    Xc = _pad_axis(Xc, T, 0)
+    YcT = _pad_axis(YcT, T, 1)
     Xc, YcT = _fold_tier_operands(Xc, YcT, cd)
-    Xc = _pad_axis(_pad_axis(Xc, T, 0), 128, 1)
-    YcT = _pad_axis(_pad_axis(YcT, 128, 0), T, 1)
     hx = _pad_axis(hx, T, 0)
     hyT = _pad_axis(hyT, T, 1)
     # layouts: see kernel_matvec_symmetric (vpu mirror keeps k
@@ -1574,19 +1633,10 @@ def kernel_symmetric_banded_supported(
     depth ≤ 512 gates as the single-window triangle kernel, with the
     window constraint relaxed to PER-BAND (any n up to the band-count
     cap). The single-window predicate implies this one."""
-    if compensated or k > 8 or kind == "laplace":
+    gate = _sym_tier_gate(d, k, kind, compute_dtype, compensated)
+    if gate is None:
         return False
-    try:
-        cd = normalize_compute_dtype(compute_dtype)
-    except ValueError:
-        return False
-    if cd is None and k > 2:
-        return False  # see kernel_symmetric_supported
-    passes = {None: 6, "bf16x3": 3, "bfloat16": 1}[cd]
-    depth = _round_up(passes * d, 128)
-    if depth > 512:
-        return False
-    k_pad = k if _sym_mirror_mode(cd, k) == "vpu" else 8
+    _cd, depth, k_pad = gate
     band = _sym_band_rows(depth, k_pad)
     return -(-n // band) <= _SYM_MAX_BANDS
 
@@ -1628,11 +1678,8 @@ def kernel_matmat_symmetric_banded(
     n = X.shape[0]
     k = V.shape[1]
     cd = normalize_compute_dtype(compute_dtype)
-    passes = {None: 6, "bf16x3": 3, "bfloat16": 1}[cd]
-    k_pad = k if _sym_mirror_mode(cd, k) == "vpu" else 8
-    band = band_rows or _sym_band_rows(
-        _round_up(passes * X.shape[1], 128), k_pad, tile
-    )
+    _passes, depth, k_pad = _sym_tier_params(X.shape[1], k, cd)
+    band = band_rows or _sym_band_rows(depth, k_pad, tile)
     nb = -(-n // band)
 
     if nb == 1:

@@ -182,5 +182,9 @@ def test_banded_supported_predicate():
     assert not kernel_symmetric_banded_supported(10**6, 28, 9, "rbf", None)
     assert not kernel_symmetric_banded_supported(10**6, 512, 1, "rbf", None)
     assert not kernel_symmetric_banded_supported(10**6, 28, 1, "laplace", None)
-    # band-count cap: k=8 shrinks bands 8x
-    assert not kernel_symmetric_banded_supported(10**8, 28, 8, "rbf", None)
+    # band-count cap: k=8 shrinks bands 8x. Use the bf16x3 tier so the
+    # rejection comes from the band COUNT (exact-tier k>2 is rejected by
+    # the earlier tier gate and would never reach the cap arithmetic);
+    # the same shape at k=1 has 8x fewer bands and stays eligible.
+    assert not kernel_symmetric_banded_supported(10**8, 28, 8, "rbf", "bf16x3")
+    assert kernel_symmetric_banded_supported(10**8, 28, 1, "rbf", "bf16x3")
