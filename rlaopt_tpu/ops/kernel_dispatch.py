@@ -42,9 +42,9 @@ def kernel_matmat(
 
     ``symmetric=True`` asserts X1 and X2 are the SAME data set (the caller
     checks object identity at operator-construction time, before tracing
-    splits them into distinct tracers); eligible applies (dot-path
-    kernels: up to 8 RHS columns; Laplace: single column) then take the
-    triangle kernel, which visits only ~half the Gram tiles
+    splits them into distinct tracers); eligible applies (bf16-tier dot
+    kernels: up to 8 RHS columns; Laplace and the exact tier: up to 2)
+    then take the triangle kernel, which visits only ~half the Gram tiles
     (:func:`rlaopt_tpu.ops.kernel_pallas.kernel_matvec_symmetric`).
     """
     if impl == "auto":
@@ -95,7 +95,8 @@ def kernel_pair(
     compute_dtype=None,
 ):
     """``(c·K @ V2, c·Kᵀ @ V1)`` with ``K = k(X1, X2)``, K evaluated ONCE
-    when the Pallas pair kernel applies (dot-path kind, k ≤ 8, the X2-side
+    when the Pallas pair kernel applies (triangle-kernel gates: k ≤ 8 on
+    the bf16 dot tiers, k ≤ 2 for Laplace / the exact tier, the X2-side
     mirror window within the VMEM budget); otherwise two streaming calls.
     The building block of the symmetric ring schedule in
     :class:`rlaopt_tpu.kernels.sharded.ShardedKernelLinOp`.
@@ -112,8 +113,9 @@ def kernel_pair(
         )
 
         # same gates as the triangle kernel, with the resident mirror
-        # window sized by the X2 side (dot-path only: no laplace pair body)
-        if kind != "laplace" and kernel_symmetric_supported(
+        # window sized by the X2 side (laplace routes to the
+        # feature-blocked VPU pair body)
+        if kernel_symmetric_supported(
             X2.shape[0], X1.shape[1], k, kind, compute_dtype
         ):
             o1, o2 = kernel_pair_matmat(

@@ -1283,13 +1283,19 @@ def kernel_symmetric_supported(
 ) -> bool:
     """Whether the triangle kernel applies: square symmetric Gram (X1 is
     X2 — caller's responsibility), ≤ 8 RHS columns (each owns a row of
-    the resident mirror window; Laplace: single column), dot-path plain
-    accumulation, concat depth ≤ 512 (so the fixed T=512 tiles fit
-    VMEM alongside the resident mirror window), and the mirror window
-    itself fits the depth-aware budget (:func:`_sym_window_budget_bytes`)."""
+    the resident mirror window; Laplace and the exact dot tier cap
+    auto-dispatch at 2 — sublane-reduce mirror, no tier-matched MXU
+    alternative), plain accumulation, dot-path concat depth ≤ 512 (so
+    the fixed T=512 tiles fit VMEM alongside the resident mirror
+    window), and the mirror window itself fits the depth-aware budget
+    (:func:`_sym_window_budget_bytes`)."""
     if kind == "laplace":
-        # feature-blocked VPU kernel: any d, exp-tier-independent
-        if compensated or k != 1:
+        # Feature-blocked VPU kernel: any d, exp-tier-independent. The
+        # mirror is a per-column SUBLANE reduce with no tier-matched MXU
+        # alternative (exact-f32-grade values — same rationale as the
+        # exact dot tier), so auto-dispatch caps at k ≤ 2; direct calls
+        # take k ≤ 8.
+        if compensated or k > 2:
             return False
         return 4 * _round_up(n, 512) * k <= _SYM_OUT2_BUDGET_BYTES
     gate = _sym_tier_gate(d, k, kind, compute_dtype, compensated)
@@ -1344,11 +1350,11 @@ def kernel_matvec_symmetric(
 
     Xs = scale_inputs(X, lengthscale)
     if kind == "laplace":
-        out = _laplace_matvec_symmetric(Xs, V[:, 0], tile, interpret)
-        out = (out[:n] * jnp.asarray(const_scaling, jnp.float32)).astype(
-            v.dtype
-        )
-        return out if squeeze else out[:, None]
+        out = _laplace_matvec_symmetric(Xs, V, tile, interpret)
+        out = (
+            out[:n, :k] * jnp.asarray(const_scaling, jnp.float32)
+        ).astype(v.dtype)
+        return out[:, 0] if squeeze else out
     cd = normalize_compute_dtype(compute_dtype)
 
     T = tile
@@ -1518,11 +1524,14 @@ def kernel_pair_matmat(
     (4·n2·k bytes) instead of the whole operator. Returns f32 outputs
     of shape (n1, k) and (n2, k) — always 2-D, even for 1-D inputs
     (the :func:`rlaopt_tpu.ops.kernel_dispatch.kernel_pair` wrapper
-    restores 1-D). Dot-path kernels only. Accuracy matches the triangle
-    kernel's contract (see :func:`kernel_matvec_symmetric`): tier-exact
-    for k ≤ 2 / exact tier; the k ≥ 3 bf16-tier MIRROR output (o2) goes
-    through the MXU contraction — "split" ~2⁻¹⁸ on bf16x3, a plain bf16
-    re-round (~2⁻⁸ on those rows) on the bfloat16 tier.
+    restores 1-D). Accuracy matches the triangle kernel's contract (see
+    :func:`kernel_matvec_symmetric`): tier-exact for k ≤ 2 / exact tier;
+    the k ≥ 3 bf16-tier MIRROR output (o2) goes through the MXU
+    contraction — "split" ~2⁻¹⁸ on bf16x3, a plain bf16 re-round (~2⁻⁸
+    on those rows) on the bfloat16 tier. Laplace routes to the
+    feature-blocked VPU pair body (:func:`_laplace_pair_matmat`,
+    exact-f32 values, ``compute_dtype`` ignored as in the general
+    Laplace engine).
     """
     if V2.ndim == 1:
         V2 = V2[:, None]
@@ -1531,8 +1540,15 @@ def kernel_pair_matmat(
     n1, d = X1.shape
     n2 = X2.shape[0]
     k = V2.shape[1]
-    cd = normalize_compute_dtype(compute_dtype)
     T = tile
+    c = jnp.asarray(const_scaling, jnp.float32)
+    if kind == "laplace":
+        o1, o2 = _laplace_pair_matmat(
+            scale_inputs(X1, lengthscale), scale_inputs(X2, lengthscale),
+            V2, V1, T, interpret,
+        )
+        return o1[:n1, :k] * c, o2[:n2, :k] * c
+    cd = normalize_compute_dtype(compute_dtype)
 
     Xc, YcT, hx, hyT = _norms_and_operands(
         kind, scale_inputs(X1, lengthscale), scale_inputs(X2, lengthscale)
@@ -1608,7 +1624,6 @@ def kernel_pair_matmat(
     mirror = out2.reshape(nt2, k_pad, T).transpose(0, 2, 1).reshape(
         n2_p, k_pad
     )
-    c = jnp.asarray(const_scaling, jnp.float32)
     return out1[:n1, :k] * c, mirror[:n2, :k] * c
 
 
@@ -1616,6 +1631,16 @@ def _sym_band_rows(depth: int, k: int, tile: int = 512) -> int:
     """Largest tile-multiple band height whose mirror window fits VMEM."""
     return max(
         tile, _sym_window_budget_bytes(depth, tile) // (4 * k) // tile * tile
+    )
+
+
+def _laplace_sym_band_rows(k: int, tile: int = 512) -> int:
+    """Laplace band height: the flat OUT2 budget divided by the k-row
+    mirror window (the feature-blocked body has no folded-depth operand
+    streams to charge — its scratch mix is the (T, T) L1 tile plus the
+    (T, k) accumulator, both inside the 64 MiB scoped headroom)."""
+    return max(
+        tile, _SYM_OUT2_BUDGET_BYTES // (4 * k) // tile * tile
     )
 
 
@@ -1629,10 +1654,15 @@ def kernel_symmetric_banded_supported(
     n: int, d: int, k: int, kind: str, compute_dtype,
     compensated: bool = False,
 ) -> bool:
-    """Whether the banded symmetric driver applies: same dot-path / k ≤ 8 /
-    depth ≤ 512 gates as the single-window triangle kernel, with the
-    window constraint relaxed to PER-BAND (any n up to the band-count
-    cap). The single-window predicate implies this one."""
+    """Whether the banded symmetric driver applies: same kind/k/depth
+    gates as the single-window triangle kernel, with the window
+    constraint relaxed to PER-BAND (any n up to the band-count cap).
+    The single-window predicate implies this one."""
+    if kind == "laplace":
+        if compensated or k > 2:
+            return False
+        band = _laplace_sym_band_rows(k)
+        return -(-n // band) <= _SYM_MAX_BANDS
     gate = _sym_tier_gate(d, k, kind, compute_dtype, compensated)
     if gate is None:
         return False
@@ -1677,9 +1707,12 @@ def kernel_matmat_symmetric_banded(
     V = v[:, None] if squeeze else v
     n = X.shape[0]
     k = V.shape[1]
-    cd = normalize_compute_dtype(compute_dtype)
-    _passes, depth, k_pad = _sym_tier_params(X.shape[1], k, cd)
-    band = band_rows or _sym_band_rows(depth, k_pad, tile)
+    if kind == "laplace":
+        band = band_rows or _laplace_sym_band_rows(k, tile)
+    else:
+        cd = normalize_compute_dtype(compute_dtype)
+        _passes, depth, k_pad = _sym_tier_params(X.shape[1], k, cd)
+        band = band_rows or _sym_band_rows(depth, k_pad, tile)
     nb = -(-n // band)
 
     if nb == 1:
@@ -1710,9 +1743,31 @@ def kernel_matmat_symmetric_banded(
     return out[:, 0] if squeeze else out
 
 
+def _laplace_sym_epilogue(
+    kv, acc_ref, o2_ref, vj, vi, jrow, k_real,
+):
+    """Both-triangle contractions of a finished Laplace tile.
+
+    Forward: per-column VPU lane reduces into the row accumulator.
+    Mirror: per-column SUBLANE reduces into the resident window row
+    ``jrow·k + c`` — same layout as the dot path's VPU mirror mode
+    (:func:`_sym_epilogue`). The Laplace engine has no tier-matched MXU
+    alternative (its values are exact-f32-grade, and a split contraction
+    would degrade the mirror rows to ~2⁻¹⁸), so like the exact dot tier
+    the auto-dispatch predicates cap k at 2; direct calls take k ≤ 8.
+    """
+    for c in range(k_real):
+        acc_ref[:, c : c + 1] += jnp.sum(
+            kv * vj[c : c + 1, :], axis=1, keepdims=True
+        )
+        o2_ref[pl.ds(jrow * k_real + c, 1), :] += jnp.sum(
+            kv * vi[:, c : c + 1], axis=0, keepdims=True
+        )
+
+
 def _body_sym_laplace(
     x_ref, y_ref, vj_ref, vi_ref, o1_ref, o2_ref, acc_ref, l1_ref,
-    *, nt, ns, nt_even, nb,
+    *, nt, ns, nt_even, nb, k_real,
 ):
     """Symmetric Laplace body: circulant pairing (as ``_body_sym``) with
     the L1 feature-block axis as a third grid dimension. The VPU feature
@@ -1749,12 +1804,12 @@ def _body_sym_laplace(
         else:
             active = jnp.float32(1.0)
         mirror_ok = active * (s > 0).astype(f32)
-        acc_ref[:] += jnp.sum(
-            kv * (vj_ref[:].astype(f32) * active), axis=1, keepdims=True
-        )
         j = lax.rem(i + s, jnp.int32(nt))
-        o2_ref[pl.ds(j, 1), :] += jnp.sum(
-            kv * (vi_ref[:].astype(f32) * mirror_ok), axis=0, keepdims=True
+        _laplace_sym_epilogue(
+            kv, acc_ref, o2_ref,
+            vj_ref[:].astype(f32) * active,
+            vi_ref[:].astype(f32) * mirror_ok,
+            j, k_real,
         )
 
     @pl.when(jnp.logical_and(s == ns - 1, b == nb - 1))
@@ -1762,18 +1817,22 @@ def _body_sym_laplace(
         o1_ref[:] = acc_ref[:].astype(o1_ref.dtype)
 
 
-def _laplace_matvec_symmetric(Xs, v, tile, interpret):
-    """Triangle variant of :func:`_laplace_matmat` (k=1, X1 is X2).
+def _laplace_matvec_symmetric(Xs, V, tile, interpret):
+    """Triangle variant of :func:`_laplace_matmat` (X1 is X2, k ≤ 8).
 
-    Measured on-chip at n=65536, d=50: 108.7 ms vs 144.3 ms general
+    Measured on-chip at n=65536, d=50, k=1: 108.7 ms vs 144.3 ms general
     (1.33x; the unpipelined per-tile epilogue eats part of the 2x tile
-    saving), parity 1.6e-7 vs a host f64 oracle.
+    saving), parity 1.6e-7 vs a host f64 oracle. Takes V of shape
+    (n, k): each RHS column owns a (1, T) row of the resident mirror
+    window (rows ``j·k + c``), exactly the dot path's VPU mirror layout.
+    Returns the PADDED (n_p, k) f32 result; the caller slices.
     """
     n, d = Xs.shape
+    k = V.shape[1]
     T = tile
     fb = _laplace_feature_block(d)
     Xp = _pad_axis(_pad_axis(Xs, T, 0), fb, 1)
-    vp = _pad_axis(v.astype(jnp.float32)[:, None], T, 0)  # (n_p, 1)
+    Vp = _pad_axis(V.astype(jnp.float32), T, 0)  # (n_p, k)
     n_p, d_p = Xp.shape
     nt = n_p // T
     nb = d_p // fb
@@ -1788,25 +1847,26 @@ def _laplace_matvec_symmetric(Xs, v, tile, interpret):
 
     out1, out2 = pl.pallas_call(
         functools.partial(
-            _body_sym_laplace, nt=nt, ns=ns, nt_even=nt_even, nb=nb
+            _body_sym_laplace, nt=nt, ns=ns, nt_even=nt_even, nb=nb,
+            k_real=k,
         ),
         grid=(nt, ns, nb),
         in_specs=[
             x_spec,
             pl.BlockSpec((fb, T), lambda i, s, b: (b, (i + s) % nt)),
-            pl.BlockSpec((1, T), lambda i, s, b: (0, (i + s) % nt)),
-            pl.BlockSpec((T, 1), lambda i, s, b: (i, 0)),
+            pl.BlockSpec((k, T), lambda i, s, b: (0, (i + s) % nt)),
+            pl.BlockSpec((T, k), lambda i, s, b: (i, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((T, 1), lambda i, s, b: (i, 0)),
-            pl.BlockSpec((nt, T), lambda i, s, b: (0, 0)),
+            pl.BlockSpec((T, k), lambda i, s, b: (i, 0)),
+            pl.BlockSpec((nt * k, T), lambda i, s, b: (0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_p, 1), jnp.float32),
-            jax.ShapeDtypeStruct((nt, T), jnp.float32),
+            jax.ShapeDtypeStruct((n_p, k), jnp.float32),
+            jax.ShapeDtypeStruct((nt * k, T), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((T, 1), jnp.float32),
+            pltpu.VMEM((T, k), jnp.float32),
             pltpu.VMEM((T, T), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -1824,5 +1884,120 @@ def _laplace_matvec_symmetric(Xs, v, tile, interpret):
             transcendentals=n_p * n_p // 2,
         ),
         interpret=interpret,
-    )(x_in, Xp.T, vp.T, vp)
-    return out1[:, 0] + out2.reshape(n_p)
+    )(x_in, Xp.T, Vp.T, Vp)
+    # mirror window row j·k + c holds column c's contribution to tile j
+    mirror = out2.reshape(nt, k, T).transpose(0, 2, 1).reshape(n_p, k)
+    return out1 + mirror
+
+
+def _body_pair_laplace(
+    x_ref, y_ref, vj_ref, vi_ref, o1_ref, o2_ref, acc_ref, l1_ref,
+    *, nj, nb, k_real,
+):
+    """Two-output rectangular Laplace body (``_body_pair`` for the L1
+    feature-blocked engine): the grid is the full (nt1, nt2, nb) slab of
+    an off-diagonal band pair, every tile active and mirrored, so the
+    circulant masks of ``_body_sym_laplace`` reduce away. One L1/exp tile
+    materialization serves both K@V_j → out1[i] and KᵀV_i → the resident
+    mirror window (sized by the J band)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    b = pl.program_id(2)
+    f32 = jnp.float32
+
+    @pl.when(
+        jnp.logical_and(jnp.logical_and(i == 0, j == 0), b == 0)
+    )
+    def _():
+        o2_ref[:] = jnp.zeros_like(o2_ref)
+
+    @pl.when(jnp.logical_and(j == 0, b == 0))
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(b == 0)
+    def _():
+        l1_ref[:] = jnp.zeros_like(l1_ref)
+
+    xt = x_ref[0] if x_ref.ndim == 3 else x_ref[:]
+    l1 = l1_ref[:]
+    for f in range(xt.shape[1]):
+        l1 = l1 + jnp.abs(xt[:, f : f + 1] - y_ref[f : f + 1, :])
+    l1_ref[:] = l1
+
+    @pl.when(b == nb - 1)
+    def _():
+        kv = jnp.exp(-l1_ref[:])
+        _laplace_sym_epilogue(
+            kv, acc_ref, o2_ref, vj_ref[:].astype(f32),
+            vi_ref[:].astype(f32), j, k_real,
+        )
+
+    @pl.when(jnp.logical_and(j == nj - 1, b == nb - 1))
+    def _():
+        o1_ref[:] = acc_ref[:].astype(o1_ref.dtype)
+
+
+def _laplace_pair_matmat(Xs1, Xs2, V2, V1, tile, interpret):
+    """Laplace instantiation of the pair kernel (see
+    :func:`kernel_pair_matmat`): one L1/exp materialization of K_IJ
+    serves both products. Returns PADDED f32 (n1_p, k) and (n2_p, k);
+    the caller slices and scales."""
+    n1, d = Xs1.shape
+    n2 = Xs2.shape[0]
+    k = V2.shape[1]
+    T = tile
+    fb = _laplace_feature_block(d)
+    Xp1 = _pad_axis(_pad_axis(Xs1, T, 0), fb, 1)
+    Xp2 = _pad_axis(_pad_axis(Xs2, T, 0), fb, 1)
+    V2p = _pad_axis(V2.astype(jnp.float32), T, 0)
+    V1p = _pad_axis(V1.astype(jnp.float32), T, 0)
+    n1_p, d_p = Xp1.shape
+    n2_p = Xp2.shape[0]
+    nt1, nt2 = n1_p // T, n2_p // T
+    nb = d_p // fb
+    if nb == 1:
+        x_in = Xp1
+        x_spec = pl.BlockSpec((T, d_p), lambda i, j, b: (i, 0))
+    else:
+        x_in = jnp.transpose(Xp1.reshape(n1_p, nb, fb), (1, 0, 2))
+        x_spec = pl.BlockSpec((1, T, fb), lambda i, j, b: (b, i, 0))
+
+    out1, out2 = pl.pallas_call(
+        functools.partial(
+            _body_pair_laplace, nj=nt2, nb=nb, k_real=k
+        ),
+        grid=(nt1, nt2, nb),
+        in_specs=[
+            x_spec,
+            pl.BlockSpec((fb, T), lambda i, j, b: (b, j)),
+            pl.BlockSpec((k, T), lambda i, j, b: (0, j)),
+            pl.BlockSpec((T, k), lambda i, j, b: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((T, k), lambda i, j, b: (i, 0)),
+            pl.BlockSpec((nt2 * k, T), lambda i, j, b: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n1_p, k), jnp.float32),
+            jax.ShapeDtypeStruct((nt2 * k, T), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((T, k), jnp.float32),
+            pltpu.VMEM((T, T), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=_SYM_VMEM_LIMIT_BYTES,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * n1_p * n2_p * d_p,
+            bytes_accessed=(
+                n1_p * d_p + n2_p * d_p + 4 * (n1_p + n2_p) * k
+            ) * 4,
+            transcendentals=n1_p * n2_p,
+        ),
+        interpret=interpret,
+    )(x_in, Xp2.T, V2p.T, V1p)
+    mirror = out2.reshape(nt2, k, T).transpose(0, 2, 1).reshape(n2_p, k)
+    return out1, mirror

@@ -88,13 +88,67 @@ def test_symmetric_multi_rhs_matches_general(k, cd):
         assert rel < 3e-6, (n, k, cd, rel)
 
 
+def test_symmetric_laplace_multi_rhs():
+    """Laplace triangle kernel with k > 1: each RHS column owns a row of
+    the mirror window (same layout as the dot path's VPU mirror)."""
+    for n, k in ((300, 2), (700, 5), (700, 8)):
+        d = 20
+        X = jax.random.normal(KEY, (n, d), jnp.float32)
+        V = jax.random.normal(jax.random.fold_in(KEY, 4), (n, k), jnp.float32)
+        got = kernel_matvec_symmetric(
+            "laplace", X, V, 1.9, 1.2, tile=256, interpret=True
+        )
+        assert got.shape == (n, k)
+        ref = kernel_matmat_pallas(
+            "laplace", X, X, V, 1.9, 1.2, interpret=True
+        )
+        rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+        assert rel < 3e-6, (n, k, rel)
+
+
+@pytest.mark.parametrize("n1,n2,k", [(300, 500, 1), (512, 260, 3)])
+def test_pair_kernel_laplace(n1, n2, k):
+    """Laplace pair body: one L1/exp materialization serving both
+    products == two general Laplace kernels (exact f32)."""
+    d = 20  # two feature blocks at fb=16 exercises the 3-D x layout
+    X1 = jax.random.normal(KEY, (n1, d), jnp.float32)
+    X2 = jax.random.normal(jax.random.fold_in(KEY, 1), (n2, d), jnp.float32)
+    V2 = jax.random.normal(jax.random.fold_in(KEY, 2), (n2, k), jnp.float32)
+    V1 = jax.random.normal(jax.random.fold_in(KEY, 3), (n1, k), jnp.float32)
+    o1, o2 = kernel_pair_matmat(
+        "laplace", X1, X2, V2, V1, 1.4, 1.2, tile=256, interpret=True
+    )
+    r1 = kernel_matmat_pallas("laplace", X1, X2, V2, 1.4, 1.2, interpret=True)
+    r2 = kernel_matmat_pallas("laplace", X2, X1, V1, 1.4, 1.2, interpret=True)
+    for got, ref in ((o1, r1), (o2, r2)):
+        rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+        assert rel < 3e-6, (n1, n2, k, rel)
+
+
+@pytest.mark.parametrize("n,band,k", [(900, 512, 1), (1100, 256, 2)])
+def test_banded_symmetric_laplace(n, band, k):
+    """Laplace banded driver: diagonal triangles + off-diagonal VPU
+    pairs == the general Laplace kernel."""
+    d = 20
+    X = jax.random.normal(KEY, (n, d), jnp.float32)
+    V = jax.random.normal(jax.random.fold_in(KEY, 5), (n, k), jnp.float32)
+    got = kernel_matmat_symmetric_banded(
+        "laplace", X, V, 1.4, 1.1, tile=256, interpret=True, band_rows=band
+    )
+    ref = kernel_matmat_pallas("laplace", X, X, V, 1.4, 1.1, interpret=True)
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert rel < 3e-6, (n, band, k, rel)
+
+
 def test_supported_predicate():
     # eligible: k=1, dot kernel, small d, n within the mirror-window budget
     assert kernel_symmetric_supported(10**6, 28, 1, "rbf", "bf16x3")
     assert kernel_symmetric_supported(10**6, 28, 1, "rbf", None)
-    # laplace: feature-blocked body, any d (k=1 only)
+    # laplace: feature-blocked body, any d; auto-dispatch through k=2
+    # (sublane-reduce mirror — same cap rationale as the exact dot tier)
     assert kernel_symmetric_supported(10**6, 512, 1, "laplace", None)
-    assert not kernel_symmetric_supported(10**5, 512, 2, "laplace", None)
+    assert kernel_symmetric_supported(10**5, 512, 2, "laplace", None)
+    assert not kernel_symmetric_supported(10**5, 512, 3, "laplace", None)
     # multi-column RHS within the depth-aware window budget; the exact
     # tier auto-dispatches only to k=2 (its VPU sublane-reduce mirror
     # loses beyond — measured), the bf16 tiers to k=8 (MXU mirror)
@@ -181,7 +235,10 @@ def test_banded_supported_predicate():
     # same hard gates as the triangle kernel
     assert not kernel_symmetric_banded_supported(10**6, 28, 9, "rbf", None)
     assert not kernel_symmetric_banded_supported(10**6, 512, 1, "rbf", None)
-    assert not kernel_symmetric_banded_supported(10**6, 28, 1, "laplace", None)
+    # laplace: banded past the flat window cap (k<=2, band-count cap)
+    assert kernel_symmetric_banded_supported(10**6, 28, 1, "laplace", None)
+    assert kernel_symmetric_banded_supported(2 * 10**7, 28, 1, "laplace", None)
+    assert not kernel_symmetric_banded_supported(10**6, 28, 3, "laplace", None)
     # band-count cap: k=8 shrinks bands 8x. Use the bf16x3 tier so the
     # rejection comes from the band COUNT (exact-tier k>2 is rejected by
     # the earlier tier gate and would never reach the cap arithmetic);
