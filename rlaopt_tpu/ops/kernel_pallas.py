@@ -1200,6 +1200,28 @@ def _body_sym(
 # mix; its pallas_call already runs at the raised 64 MiB scoped limit).
 _SYM_OUT2_BUDGET_BYTES = 40 * 1024 * 1024
 
+# Mirror-window rows per tile in the Laplace MXU mirror mode (the (8, T)
+# tile one _mirror_dot6 contraction builds; 8 = f32 sublane count, so the
+# dynamic window writes stay sublane-aligned).
+_LAPLACE_KPAD = 8
+
+
+def _laplace_sym_mirror_mode(n: int, k: int):
+    """Mirror engine for the Laplace symmetric bodies at size (n, k).
+
+    "mxu" (preferred): one 6-pass bf16-split contraction per tile on the
+    otherwise-idle MXU — full f32-grade, k ≤ 8 — needs an 8-row-per-tile
+    window (4·8·n_p bytes). "vpu": per-column sublane reduces, k-row
+    window (largest single-window n, ~10.5M rows at k=1) but ~4.3 µs per
+    tile and only worthwhile at k ≤ 2. None: no single-window fit (the
+    banded driver takes over)."""
+    n_p = _round_up(n, 512)
+    if 4 * n_p * _LAPLACE_KPAD <= _SYM_OUT2_BUDGET_BYTES:
+        return "mxu"
+    if 4 * n_p * k <= _SYM_OUT2_BUDGET_BYTES:
+        return "vpu"
+    return None
+
 # The symmetric kernels raise Mosaic's scoped-VMEM limit from the 16 MiB
 # default: v5e VMEM is 128 MB, and the Laplace symmetric kernel has run
 # at a 64 MiB scoped allocation on the real chip since round 3.
@@ -1291,13 +1313,16 @@ def kernel_symmetric_supported(
     (:func:`_sym_window_budget_bytes`)."""
     if kind == "laplace":
         # Feature-blocked VPU kernel: any d, exp-tier-independent. The
-        # mirror is a per-column SUBLANE reduce with no tier-matched MXU
-        # alternative (exact-f32-grade values — same rationale as the
-        # exact dot tier), so auto-dispatch caps at k ≤ 2; direct calls
-        # take k ≤ 8.
-        if compensated or k > 2:
+        # MXU mirror mode (6-pass split contraction on the body's idle
+        # MXU — full f32-grade) takes k ≤ 8 within its 8-row window
+        # (n ≤ ~1.3M); past that the VPU sublane-reduce mirror extends
+        # the single window to ~10.5M rows at k ≤ 2.
+        if compensated or k > 8:
             return False
-        return 4 * _round_up(n, 512) * k <= _SYM_OUT2_BUDGET_BYTES
+        mode = _laplace_sym_mirror_mode(n, k)
+        if mode is None or (mode == "vpu" and k > 2):
+            return False
+        return True
     gate = _sym_tier_gate(d, k, kind, compute_dtype, compensated)
     if gate is None:
         return False
@@ -1635,12 +1660,16 @@ def _sym_band_rows(depth: int, k: int, tile: int = 512) -> int:
 
 
 def _laplace_sym_band_rows(k: int, tile: int = 512) -> int:
-    """Laplace band height: the flat OUT2 budget divided by the k-row
-    mirror window (the feature-blocked body has no folded-depth operand
-    streams to charge — its scratch mix is the (T, T) L1 tile plus the
-    (T, k) accumulator, both inside the 64 MiB scoped headroom)."""
+    """Laplace band height: the flat OUT2 budget divided by the 8-row
+    MXU mirror window (bands are sized so every within-band kernel runs
+    the fast MXU mirror mode; the feature-blocked body has no
+    folded-depth operand streams to charge — its scratch mix is the
+    (T, T) L1 tile plus the (T, k) accumulator, both inside the 64 MiB
+    scoped headroom)."""
+    del k  # the MXU window is 8 rows/tile regardless of k
     return max(
-        tile, _SYM_OUT2_BUDGET_BYTES // (4 * k) // tile * tile
+        tile,
+        _SYM_OUT2_BUDGET_BYTES // (4 * _LAPLACE_KPAD) // tile * tile,
     )
 
 
@@ -1659,7 +1688,7 @@ def kernel_symmetric_banded_supported(
     constraint relaxed to PER-BAND (any n up to the band-count cap).
     The single-window predicate implies this one."""
     if kind == "laplace":
-        if compensated or k > 2:
+        if compensated or k > 8:
             return False
         band = _laplace_sym_band_rows(k)
         return -(-n // band) <= _SYM_MAX_BANDS
@@ -1743,23 +1772,57 @@ def kernel_matmat_symmetric_banded(
     return out[:, 0] if squeeze else out
 
 
+def _mirror_dot6(kv, vit):
+    """``vit @ kv`` ((k_pad, T)·(T, T)) as a 6-pass bf16-split MXU
+    contraction — the ``Precision.HIGHEST`` emulation (hi/mid/lo
+    operand splits, products down to lo·hi), i.e. full f32-grade. Used
+    by the Laplace symmetric bodies: their tile work is pure VPU
+    (feature loop + exp), so the mirror contraction rides the otherwise
+    IDLE MXU instead of a sublane reduce (measured: the per-column
+    sublane-reduce mirror was 36 ms of the 106.5 ms triangle matvec at
+    n=65536, d=50 — 4.3 µs/tile, half the body cost)."""
+    f32 = jnp.float32
+    bf = jnp.bfloat16
+    kh = kv.astype(bf)
+    km = (kv - kh.astype(f32)).astype(bf)
+    kl = (kv - kh.astype(f32) - km.astype(f32)).astype(bf)
+    vh = vit.astype(bf)
+    vm = (vit - vh.astype(f32)).astype(bf)
+    vl = (vit - vh.astype(f32) - vm.astype(f32)).astype(bf)
+    return (
+        lax.dot_general(vh, kh, _DN, preferred_element_type=f32)
+        + lax.dot_general(vh, km, _DN, preferred_element_type=f32)
+        + lax.dot_general(vm, kh, _DN, preferred_element_type=f32)
+        + lax.dot_general(vh, kl, _DN, preferred_element_type=f32)
+        + lax.dot_general(vm, km, _DN, preferred_element_type=f32)
+        + lax.dot_general(vl, kh, _DN, preferred_element_type=f32)
+    )
+
+
 def _laplace_sym_epilogue(
-    kv, acc_ref, o2_ref, vj, vi, jrow, k_real,
+    kv, acc_ref, o2_ref, vj, vi, jrow, k_real, mirror_mode="mxu",
 ):
     """Both-triangle contractions of a finished Laplace tile.
 
     Forward: per-column VPU lane reduces into the row accumulator.
-    Mirror: per-column SUBLANE reduces into the resident window row
-    ``jrow·k + c`` — same layout as the dot path's VPU mirror mode
-    (:func:`_sym_epilogue`). The Laplace engine has no tier-matched MXU
-    alternative (its values are exact-f32-grade, and a split contraction
-    would degrade the mirror rows to ~2⁻¹⁸), so like the exact dot tier
-    the auto-dispatch predicates cap k at 2; direct calls take k ≤ 8.
+    Mirror ("mxu", default): one 6-pass bf16-split MXU contraction
+    (:func:`_mirror_dot6` — full f32-grade, and the Laplace body's MXU
+    is otherwise idle) builds the whole (8, T) mirror tile; ``vi``
+    arrives TRANSPOSED (8, T) and the window owns 8 rows per tile.
+    Mirror ("vpu"): per-column SUBLANE reduces into window row
+    ``jrow·k + c`` with ``vi`` in (T, k) layout — keeps the window k×
+    smaller (largest single-window n), at ~4.3 µs/tile.
     """
     for c in range(k_real):
         acc_ref[:, c : c + 1] += jnp.sum(
             kv * vj[c : c + 1, :], axis=1, keepdims=True
         )
+    if mirror_mode == "mxu":
+        o2_ref[pl.ds(jrow * _LAPLACE_KPAD, _LAPLACE_KPAD), :] += (
+            _mirror_dot6(kv, vi)
+        )
+        return
+    for c in range(k_real):
         o2_ref[pl.ds(jrow * k_real + c, 1), :] += jnp.sum(
             kv * vi[:, c : c + 1], axis=0, keepdims=True
         )
@@ -1767,7 +1830,7 @@ def _laplace_sym_epilogue(
 
 def _body_sym_laplace(
     x_ref, y_ref, vj_ref, vi_ref, o1_ref, o2_ref, acc_ref, l1_ref,
-    *, nt, ns, nt_even, nb, k_real,
+    *, nt, ns, nt_even, nb, k_real, mirror_mode,
 ):
     """Symmetric Laplace body: circulant pairing (as ``_body_sym``) with
     the L1 feature-block axis as a third grid dimension. The VPU feature
@@ -1809,7 +1872,7 @@ def _body_sym_laplace(
             kv, acc_ref, o2_ref,
             vj_ref[:].astype(f32) * active,
             vi_ref[:].astype(f32) * mirror_ok,
-            j, k_real,
+            j, k_real, mirror_mode,
         )
 
     @pl.when(jnp.logical_and(s == ns - 1, b == nb - 1))
@@ -1817,7 +1880,7 @@ def _body_sym_laplace(
         o1_ref[:] = acc_ref[:].astype(o1_ref.dtype)
 
 
-def _laplace_matvec_symmetric(Xs, V, tile, interpret):
+def _laplace_matvec_symmetric(Xs, V, tile, interpret, force_mode=None):
     """Triangle variant of :func:`_laplace_matmat` (X1 is X2, k ≤ 8).
 
     Measured on-chip at n=65536, d=50, k=1: 108.7 ms vs 144.3 ms general
@@ -1845,25 +1908,35 @@ def _laplace_matvec_symmetric(Xs, V, tile, interpret):
         x_in = jnp.transpose(Xp.reshape(n_p, nb, fb), (1, 0, 2))
         x_spec = pl.BlockSpec((1, T, fb), lambda i, s, b: (b, i, 0))
 
+    mirror_mode = force_mode or _laplace_sym_mirror_mode(n, k) or "vpu"
+    if mirror_mode == "mxu":
+        k_win = _LAPLACE_KPAD
+        vi_in = _pad_axis(Vp, k_win, 1).T
+        vi_spec = pl.BlockSpec((k_win, T), lambda i, s, b: (0, i))
+    else:
+        k_win = k
+        vi_in = Vp
+        vi_spec = pl.BlockSpec((T, k), lambda i, s, b: (i, 0))
+
     out1, out2 = pl.pallas_call(
         functools.partial(
             _body_sym_laplace, nt=nt, ns=ns, nt_even=nt_even, nb=nb,
-            k_real=k,
+            k_real=k, mirror_mode=mirror_mode,
         ),
         grid=(nt, ns, nb),
         in_specs=[
             x_spec,
             pl.BlockSpec((fb, T), lambda i, s, b: (b, (i + s) % nt)),
             pl.BlockSpec((k, T), lambda i, s, b: (0, (i + s) % nt)),
-            pl.BlockSpec((T, k), lambda i, s, b: (i, 0)),
+            vi_spec,
         ],
         out_specs=[
             pl.BlockSpec((T, k), lambda i, s, b: (i, 0)),
-            pl.BlockSpec((nt * k, T), lambda i, s, b: (0, 0)),
+            pl.BlockSpec((nt * k_win, T), lambda i, s, b: (0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_p, k), jnp.float32),
-            jax.ShapeDtypeStruct((nt * k, T), jnp.float32),
+            jax.ShapeDtypeStruct((nt * k_win, T), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((T, k), jnp.float32),
@@ -1884,15 +1957,17 @@ def _laplace_matvec_symmetric(Xs, V, tile, interpret):
             transcendentals=n_p * n_p // 2,
         ),
         interpret=interpret,
-    )(x_in, Xp.T, Vp.T, Vp)
-    # mirror window row j·k + c holds column c's contribution to tile j
-    mirror = out2.reshape(nt, k, T).transpose(0, 2, 1).reshape(n_p, k)
-    return out1 + mirror
+    )(x_in, Xp.T, Vp.T, vi_in)
+    # mirror window row j·k_win + c holds column c's contribution to tile j
+    mirror = out2.reshape(nt, k_win, T).transpose(0, 2, 1).reshape(
+        n_p, k_win
+    )
+    return out1 + mirror[:, :k]
 
 
 def _body_pair_laplace(
     x_ref, y_ref, vj_ref, vi_ref, o1_ref, o2_ref, acc_ref, l1_ref,
-    *, nj, nb, k_real,
+    *, nj, nb, k_real, mirror_mode,
 ):
     """Two-output rectangular Laplace body (``_body_pair`` for the L1
     feature-blocked engine): the grid is the full (nt1, nt2, nb) slab of
@@ -1930,7 +2005,7 @@ def _body_pair_laplace(
         kv = jnp.exp(-l1_ref[:])
         _laplace_sym_epilogue(
             kv, acc_ref, o2_ref, vj_ref[:].astype(f32),
-            vi_ref[:].astype(f32), j, k_real,
+            vi_ref[:].astype(f32), j, k_real, mirror_mode,
         )
 
     @pl.when(jnp.logical_and(j == nj - 1, b == nb - 1))
@@ -1938,7 +2013,8 @@ def _body_pair_laplace(
         o1_ref[:] = acc_ref[:].astype(o1_ref.dtype)
 
 
-def _laplace_pair_matmat(Xs1, Xs2, V2, V1, tile, interpret):
+def _laplace_pair_matmat(Xs1, Xs2, V2, V1, tile, interpret,
+                         force_mode=None):
     """Laplace instantiation of the pair kernel (see
     :func:`kernel_pair_matmat`): one L1/exp materialization of K_IJ
     serves both products. Returns PADDED f32 (n1_p, k) and (n2_p, k);
@@ -1963,24 +2039,36 @@ def _laplace_pair_matmat(Xs1, Xs2, V2, V1, tile, interpret):
         x_in = jnp.transpose(Xp1.reshape(n1_p, nb, fb), (1, 0, 2))
         x_spec = pl.BlockSpec((1, T, fb), lambda i, j, b: (b, i, 0))
 
+    # the mirror window is sized by the X2 side
+    mirror_mode = force_mode or _laplace_sym_mirror_mode(n2, k) or "vpu"
+    if mirror_mode == "mxu":
+        k_win = _LAPLACE_KPAD
+        vi_in = _pad_axis(V1p, k_win, 1).T
+        vi_spec = pl.BlockSpec((k_win, T), lambda i, j, b: (0, i))
+    else:
+        k_win = k
+        vi_in = V1p
+        vi_spec = pl.BlockSpec((T, k), lambda i, j, b: (i, 0))
+
     out1, out2 = pl.pallas_call(
         functools.partial(
-            _body_pair_laplace, nj=nt2, nb=nb, k_real=k
+            _body_pair_laplace, nj=nt2, nb=nb, k_real=k,
+            mirror_mode=mirror_mode,
         ),
         grid=(nt1, nt2, nb),
         in_specs=[
             x_spec,
             pl.BlockSpec((fb, T), lambda i, j, b: (b, j)),
             pl.BlockSpec((k, T), lambda i, j, b: (0, j)),
-            pl.BlockSpec((T, k), lambda i, j, b: (i, 0)),
+            vi_spec,
         ],
         out_specs=[
             pl.BlockSpec((T, k), lambda i, j, b: (i, 0)),
-            pl.BlockSpec((nt2 * k, T), lambda i, j, b: (0, 0)),
+            pl.BlockSpec((nt2 * k_win, T), lambda i, j, b: (0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n1_p, k), jnp.float32),
-            jax.ShapeDtypeStruct((nt2 * k, T), jnp.float32),
+            jax.ShapeDtypeStruct((nt2 * k_win, T), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((T, k), jnp.float32),
@@ -1998,6 +2086,8 @@ def _laplace_pair_matmat(Xs1, Xs2, V2, V1, tile, interpret):
             transcendentals=n1_p * n2_p,
         ),
         interpret=interpret,
-    )(x_in, Xp2.T, V2p.T, V1p)
-    mirror = out2.reshape(nt2, k, T).transpose(0, 2, 1).reshape(n2_p, k)
-    return out1, mirror
+    )(x_in, Xp2.T, V2p.T, vi_in)
+    mirror = out2.reshape(nt2, k_win, T).transpose(0, 2, 1).reshape(
+        n2_p, k_win
+    )
+    return out1, mirror[:, :k]

@@ -89,8 +89,8 @@ def test_symmetric_multi_rhs_matches_general(k, cd):
 
 
 def test_symmetric_laplace_multi_rhs():
-    """Laplace triangle kernel with k > 1: each RHS column owns a row of
-    the mirror window (same layout as the dot path's VPU mirror)."""
+    """Laplace triangle kernel with k > 1: each RHS column owns rows of
+    the mirror window (MXU 6-pass mirror mode at these sizes)."""
     for n, k in ((300, 2), (700, 5), (700, 8)):
         d = 20
         X = jax.random.normal(KEY, (n, d), jnp.float32)
@@ -104,6 +104,36 @@ def test_symmetric_laplace_multi_rhs():
         )
         rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
         assert rel < 3e-6, (n, k, rel)
+
+
+def test_symmetric_laplace_vpu_mirror_mode():
+    """The VPU sublane-reduce mirror (the single-window mode past the
+    MXU window's ~1.3M-row reach, k <= 2) — forced at small n so the
+    interpret test covers both engines."""
+    from rlaopt_tpu.ops.kernel_pallas import (
+        _laplace_matvec_symmetric,
+        _laplace_pair_matmat,
+        scale_inputs,
+    )
+
+    n, d, k = 700, 20, 2
+    X = jax.random.normal(KEY, (n, d), jnp.float32)
+    V = jax.random.normal(jax.random.fold_in(KEY, 7), (n, k), jnp.float32)
+    Xs = scale_inputs(X, 1.9)
+    got = _laplace_matvec_symmetric(Xs, V, 256, True, force_mode="vpu")[:n]
+    ref = kernel_matmat_pallas("laplace", X, X, V, 1.9, 1.0, interpret=True)
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert rel < 3e-6, rel
+
+    m = 260
+    Y = jax.random.normal(jax.random.fold_in(KEY, 8), (m, d), jnp.float32)
+    Vy = jax.random.normal(jax.random.fold_in(KEY, 9), (m, k), jnp.float32)
+    Ys = scale_inputs(Y, 1.9)
+    o1, o2 = _laplace_pair_matmat(Xs, Ys, Vy, V, 256, True, force_mode="vpu")
+    r1 = kernel_matmat_pallas("laplace", X, Y, Vy, 1.9, 1.0, interpret=True)
+    r2 = kernel_matmat_pallas("laplace", Y, X, V, 1.9, 1.0, interpret=True)
+    assert float(jnp.linalg.norm(o1[:n] - r1) / jnp.linalg.norm(r1)) < 3e-6
+    assert float(jnp.linalg.norm(o2[:m] - r2) / jnp.linalg.norm(r2)) < 3e-6
 
 
 @pytest.mark.parametrize("n1,n2,k", [(300, 500, 1), (512, 260, 3)])
@@ -144,11 +174,16 @@ def test_supported_predicate():
     # eligible: k=1, dot kernel, small d, n within the mirror-window budget
     assert kernel_symmetric_supported(10**6, 28, 1, "rbf", "bf16x3")
     assert kernel_symmetric_supported(10**6, 28, 1, "rbf", None)
-    # laplace: feature-blocked body, any d; auto-dispatch through k=2
-    # (sublane-reduce mirror — same cap rationale as the exact dot tier)
+    # laplace: feature-blocked body, any d. MXU mirror mode (6-pass
+    # split on the body's idle MXU, f32-grade) takes k <= 8 within its
+    # 8-row window (n <= ~1.3M); past that the VPU sublane-reduce
+    # mirror extends the single window at k <= 2 only.
     assert kernel_symmetric_supported(10**6, 512, 1, "laplace", None)
     assert kernel_symmetric_supported(10**5, 512, 2, "laplace", None)
-    assert not kernel_symmetric_supported(10**5, 512, 3, "laplace", None)
+    assert kernel_symmetric_supported(10**5, 512, 8, "laplace", None)
+    assert not kernel_symmetric_supported(10**5, 512, 9, "laplace", None)
+    assert kernel_symmetric_supported(2 * 10**6, 512, 2, "laplace", None)
+    assert not kernel_symmetric_supported(2 * 10**6, 512, 3, "laplace", None)
     # multi-column RHS within the depth-aware window budget; the exact
     # tier auto-dispatches only to k=2 (its VPU sublane-reduce mirror
     # loses beyond — measured), the bf16 tiers to k=8 (MXU mirror)
@@ -235,10 +270,11 @@ def test_banded_supported_predicate():
     # same hard gates as the triangle kernel
     assert not kernel_symmetric_banded_supported(10**6, 28, 9, "rbf", None)
     assert not kernel_symmetric_banded_supported(10**6, 512, 1, "rbf", None)
-    # laplace: banded past the flat window cap (k<=2, band-count cap)
+    # laplace: banded past the flat window cap (k<=8, band-count cap)
     assert kernel_symmetric_banded_supported(10**6, 28, 1, "laplace", None)
     assert kernel_symmetric_banded_supported(2 * 10**7, 28, 1, "laplace", None)
-    assert not kernel_symmetric_banded_supported(10**6, 28, 3, "laplace", None)
+    assert kernel_symmetric_banded_supported(10**6, 28, 3, "laplace", None)
+    assert not kernel_symmetric_banded_supported(10**6, 28, 9, "laplace", None)
     # band-count cap: k=8 shrinks bands 8x. Use the bf16x3 tier so the
     # rejection comes from the band COUNT (exact-tier k>2 is rejected by
     # the earlier tier gate and would never reach the cap arithmetic);
