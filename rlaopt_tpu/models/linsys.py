@@ -467,12 +467,10 @@ class LinSys(Model):
 
             kind = self._A.kind
             d = self._A._data
-            if (
-                device == "accel"
-                and kind == "rbf"
-                and d["X1"].shape[1] <= 64
-            ):
-                return self._value64_matmat(d)
+            if device == "accel" and d["X1"].shape[1] <= 64:
+                # all five families ride the value64 two-float path
+                # (round 4; was RBF-only)
+                return self._value64_matmat(d, kind)
             import contextlib
 
             place = (
@@ -546,8 +544,8 @@ class LinSys(Model):
             return lambda W64: A64 @ W64
         return None
 
-    def _value64_matmat(self, d):
-        """f64-grade RBF matmat on the accelerator via two-float arithmetic.
+    def _value64_matmat(self, d, kind="rbf"):
+        """f64-grade kernel matmat on the accelerator via two-float math.
 
         The TPU's emulated f64 ``exp`` measures ~0.6 Gexp/s (~30 min per
         n=1M residual); the value64 Pallas path gets ~3e-9-accurate kernel
@@ -571,8 +569,8 @@ class LinSys(Model):
             # runtime kills single device executions over ~80 s) with the
             # Y-side prepared once — per-call Y re-prep here leaked ~130 GB
             # of host memory over 489 chunks at n=1M.
-            hi, lo = kernel_matmat_value64(X1, X2, Wh, ls, c)
-            low = kernel_matmat("rbf", X1, X2, jnp.asarray(Wl), ls, c)
+            hi, lo = kernel_matmat_value64(X1, X2, Wh, ls, c, kind=kind)
+            low = kernel_matmat(kind, X1, X2, jnp.asarray(Wl), ls, c)
             return (
                 np.asarray(hi, np.float64)
                 + np.asarray(lo, np.float64)

@@ -42,9 +42,11 @@ def kernel_matmat(
 
     ``symmetric=True`` asserts X1 and X2 are the SAME data set (the caller
     checks object identity at operator-construction time, before tracing
-    splits them into distinct tracers); eligible applies (bf16-tier dot
-    kernels: up to 8 RHS columns; Laplace and the exact tier: up to 2)
-    then take the triangle kernel, which visits only ~half the Gram tiles
+    splits them into distinct tracers); eligible applies (dot-path tiers
+    incl. exact: up to 16 RHS columns via tier-matched MXU mirror
+    contractions; Laplace: up to 8 within the MXU mirror window n ≲ 1.3M,
+    k ≤ 2 beyond via the VPU sublane-reduce mirror) then take the
+    triangle kernel, which visits only ~half the Gram tiles
     (:func:`rlaopt_tpu.ops.kernel_pallas.kernel_matvec_symmetric`).
     """
     if impl == "auto":
@@ -95,9 +97,10 @@ def kernel_pair(
     compute_dtype=None,
 ):
     """``(c·K @ V2, c·Kᵀ @ V1)`` with ``K = k(X1, X2)``, K evaluated ONCE
-    when the Pallas pair kernel applies (triangle-kernel gates: k ≤ 8 on
-    the bf16 dot tiers, k ≤ 2 for Laplace / the exact tier, the X2-side
-    mirror window within the VMEM budget); otherwise two streaming calls.
+    when the Pallas pair kernel applies (triangle-kernel gates: k ≤ 16
+    on all dot-path tiers incl. exact, Laplace k ≤ 8 within its MXU
+    mirror window / k ≤ 2 beyond, the X2-side mirror window within the
+    VMEM budget); otherwise two streaming calls.
     The building block of the symmetric ring schedule in
     :class:`rlaopt_tpu.kernels.sharded.ShardedKernelLinOp`.
     """

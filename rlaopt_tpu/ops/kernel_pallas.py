@@ -1112,8 +1112,12 @@ def _sym_epilogue(
             )
         return
     f32 = jnp.float32
-    vit = viprev_ref[:]  # transposed layout (k_pad=8, T): standard matmul
-    if mirror_mode == "split":
+    vit = viprev_ref[:]  # transposed layout (k_pad, T): standard matmul
+    if mirror_mode == "highest":
+        # exact tier: 6-pass 3-way-split contraction (f32-grade, the
+        # same decomposition as the tier's own concat6/HIGHEST cross)
+        mirror = _mirror_dot6(kv, vit)
+    elif mirror_mode == "split":
         kh = kv.astype(jnp.bfloat16)
         kl = (kv - kh.astype(f32)).astype(jnp.bfloat16)
         vh = vit.astype(jnp.bfloat16)
@@ -1232,14 +1236,18 @@ def _sym_mirror_mode(cd, k: int) -> str:
     """Mirror-contraction engine for the triangle/pair epilogue.
 
     Per-column VPU mirrors (sublane reduces) through k=2; beyond that a
-    tier-matched MXU contraction builds the whole mirror tile. The exact
-    tier has no tier-matched cheap MXU contraction (split is ~2⁻¹⁸), so
-    it keeps the VPU mirror at every k — and the support predicates cap
-    auto-dispatch at k ≤ 2 because that mirror loses past there
-    (measured k=8: 0.83× the general kernel). Direct calls stay
-    tier-true regardless of k."""
-    if k <= 2 or cd is None:
+    tier-matched MXU contraction builds the whole mirror tile: "fast"
+    (one bf16 pass) for the bfloat16 tier, "split" (3-pass bf16 hi/lo,
+    ~2⁻¹⁸) for bf16x3, and "highest" (6-pass 3-way split,
+    :func:`_mirror_dot6` — the same 6-term decomposition the exact
+    tier's concat6 fold / Precision.HIGHEST dot uses, so f32-grade) for
+    the exact tier. Round 3 capped the exact tier at the VPU mirror
+    (k ≤ 2, measured 0.83× the general kernel at k=8); the 6-pass MXU
+    mirror lifts that — all dot-path tiers now mirror through k=16."""
+    if k <= 2:
         return "vpu"
+    if cd is None:
+        return "highest"
     return "fast" if cd == "bfloat16" else "split"
 
 
@@ -1272,7 +1280,7 @@ def _sym_tier_params(d: int, k: int, cd) -> tuple:
     the actual VMEM footprint."""
     passes = {None: 6, "bf16x3": 3, "bfloat16": 1}[cd]
     depth = _round_up(passes * d, 128)
-    k_pad = k if _sym_mirror_mode(cd, k) == "vpu" else 8
+    k_pad = k if _sym_mirror_mode(cd, k) == "vpu" else _round_up(k, 8)
     return passes, depth, k_pad
 
 
@@ -1280,18 +1288,21 @@ def _sym_tier_gate(d: int, k: int, kind: str, compute_dtype, compensated):
     """Shared eligibility gates of the symmetric dot-path kernels.
 
     Returns ``(cd, depth, k_pad)`` when the triangle/pair machinery
-    applies, else None: dot-path kind only, plain accumulation, k ≤ 8,
-    exact tier capped at k ≤ 2 (no tier-matched cheap MXU mirror
-    contraction, and the per-column sublane-reduce mirror loses past
-    k=2 — measured k=8: 0.83× the general kernel), concat depth ≤ 512
-    (fixed T=512 tiles must fit VMEM beside the mirror window)."""
-    if compensated or k > 8 or kind == "laplace":
+    applies, else None: dot-path kind only, plain accumulation, k ≤ 16
+    (each RHS column owns a mirror-window row; past 16 the per-value
+    VPU forward contraction stops hiding under the halved MXU window
+    and the general kernel's MXU contraction dispatch wins), concat
+    depth ≤ 512 (fixed T=512 tiles must fit VMEM beside the mirror
+    window). Since round 4 the exact tier mirrors through the 6-pass
+    MXU contraction (mirror mode "highest") at k ≥ 3, so it carries
+    the same k ≤ 16 cap as the bf16 tiers — the round-3 k ≤ 2 cap was
+    the per-column sublane-reduce mirror losing past k=2 (measured
+    k=8: 0.83× the general kernel)."""
+    if compensated or k > 16 or kind == "laplace":
         return None
     try:
         cd = normalize_compute_dtype(compute_dtype)
     except ValueError:
-        return None
-    if cd is None and k > 2:
         return None
     _, depth, k_pad = _sym_tier_params(d, k, cd)
     if depth > 512:
@@ -1304,13 +1315,16 @@ def kernel_symmetric_supported(
     compensated: bool = False,
 ) -> bool:
     """Whether the triangle kernel applies: square symmetric Gram (X1 is
-    X2 — caller's responsibility), ≤ 8 RHS columns (each owns a row of
-    the resident mirror window; Laplace and the exact dot tier cap
-    auto-dispatch at 2 — sublane-reduce mirror, no tier-matched MXU
-    alternative), plain accumulation, dot-path concat depth ≤ 512 (so
-    the fixed T=512 tiles fit VMEM alongside the resident mirror
-    window), and the mirror window itself fits the depth-aware budget
-    (:func:`_sym_window_budget_bytes`)."""
+    X2 — caller's responsibility), ≤ 16 RHS columns on the dot-path
+    tiers (each owns a row of the resident mirror window; k ≥ 3 goes
+    through a tier-matched MXU mirror contraction — 6-pass "highest" on
+    the exact tier since round 4), plain accumulation, dot-path concat
+    depth ≤ 512 (so the fixed T=512 tiles fit VMEM alongside the
+    resident mirror window), and the mirror window itself fits the
+    depth-aware budget (:func:`_sym_window_budget_bytes`). Laplace: the
+    MXU mirror window covers k ≤ 8 within n ≲ 1.3M; beyond that window
+    the VPU sublane-reduce mirror extends single-window reach to
+    ~10.5M rows at k ≤ 2."""
     if kind == "laplace":
         # Feature-blocked VPU kernel: any d, exp-tier-independent. The
         # MXU mirror mode (6-pass split contraction on the body's idle
@@ -1350,19 +1364,21 @@ def kernel_matvec_symmetric(
     K_ijᵀV_i → out[j] while materialized once in VMEM — halving the n²
     transcendental + MXU cross work that dominates the matvec (the
     reference's KeOps engine has no symmetric mode; this is TPU-side
-    gravy on SURVEY N10). V may have up to 8 columns (each owns a (1, T)
+    gravy on SURVEY N10). V may have up to 16 columns (each owns a (1, T)
     row of the resident mirror window; the per-column VPU contractions
     total the same op count as the general kernel's — only the exp and
     cross work halve). Restrictions in
     :func:`kernel_symmetric_supported`; measured on-chip at n=2¹⁷, d=28,
     k=1: 0.434 vs 0.641 ms per 16k²-equivalent sweep (bf16x3, 1.48×) and
     0.589 vs 1.012 (exact tier, 1.72×), agreeing with the general kernel
-    to 3e-7. Accuracy: for k ≤ 2 (and the exact tier at any k) the tier
-    is exactly the general kernel's — same tile formulas, same f32 VPU
-    contractions. For k ≥ 3 on the bf16 tiers the MIRROR rows (the upper
-    triangle served by transposed tiles) go through an MXU contraction
-    instead: "split" (3-pass bf16 hi/lo, ~2⁻¹⁸ per product — tier-matched
-    for bf16x3, measured ≤8e-6 vs the general kernel) on bf16x3, and a
+    to 3e-7. Accuracy: for k ≤ 2 the tier is exactly the general
+    kernel's — same tile formulas, same f32 VPU contractions. For k ≥ 3
+    the MIRROR rows (the upper triangle served by transposed tiles) go
+    through a tier-matched MXU contraction instead: "highest" (6-pass
+    3-way split, :func:`_mirror_dot6` — the same decomposition as the
+    tier's own concat6/HIGHEST cross, f32-grade) on the exact tier,
+    "split" (3-pass bf16 hi/lo, ~2⁻¹⁸ per product — tier-matched for
+    bf16x3, measured ≤8e-6 vs the general kernel) on bf16x3, and a
     plain bf16 pass on the bfloat16 tier (re-rounds the f32 kernel tile
     to bf16: ~2⁻⁸-grade extra error on those rows, measured ~2e-3 —
     within that tier's own ~1e-2 value error, but NOT bit-identical to
@@ -1395,11 +1411,12 @@ def kernel_matvec_symmetric(
     # full-trailing-axis blocks of width k are legal (the k=1 original
     # used (T, 1) blocks), and the resident mirror window scales with k;
     # padding would shrink the supported n by 8x for the k=1 flagship
-    # matvec. MXU mirror mode (bf16 tiers, k >= 3): k pads to 8 so the
-    # V_i blocks arrive TRANSPOSED (8, T) for a standard-shape mirror
-    # matmul and the window's dynamic row writes stay sublane-aligned.
+    # matvec. MXU mirror mode (k >= 3, any dot tier): k pads to the next
+    # sublane multiple (8 / 16) so the V_i blocks arrive TRANSPOSED
+    # (k_pad, T) for a standard-shape mirror matmul and the window's
+    # dynamic row writes stay sublane-aligned.
     mirror_mode = _sym_mirror_mode(cd, k)
-    k_pad = k if mirror_mode == "vpu" else 8
+    k_pad = k if mirror_mode == "vpu" else _round_up(k, 8)
     Vp = _pad_axis(
         _pad_axis(V.astype(jnp.float32), T, 0), k_pad, 1
     )
@@ -1550,9 +1567,10 @@ def kernel_pair_matmat(
     of shape (n1, k) and (n2, k) — always 2-D, even for 1-D inputs
     (the :func:`rlaopt_tpu.ops.kernel_dispatch.kernel_pair` wrapper
     restores 1-D). Accuracy matches the triangle kernel's contract (see
-    :func:`kernel_matvec_symmetric`): tier-exact for k ≤ 2 / exact tier;
-    the k ≥ 3 bf16-tier MIRROR output (o2) goes through the MXU
-    contraction — "split" ~2⁻¹⁸ on bf16x3, a plain bf16 re-round (~2⁻⁸
+    :func:`kernel_matvec_symmetric`): tier-exact for k ≤ 2; the k ≥ 3
+    MIRROR output (o2) goes through the tier-matched MXU contraction —
+    "highest" (6-pass, f32-grade) on the exact tier, "split" ~2⁻¹⁸ on
+    bf16x3, a plain bf16 re-round (~2⁻⁸
     on those rows) on the bfloat16 tier. Laplace routes to the
     feature-blocked VPU pair body (:func:`_laplace_pair_matmat`,
     exact-f32 values, ``compute_dtype`` ignored as in the general
@@ -1586,10 +1604,11 @@ def kernel_pair_matmat(
     Xc, YcT = _fold_tier_operands(Xc, YcT, cd)
     hx = _pad_axis(hx, T, 0)
     hyT = _pad_axis(hyT, T, 1)
-    # layouts: see kernel_matvec_symmetric (vpu mirror keeps k
-    # unpadded; the MXU mirror pads k to 8 and transposes the V1 blocks)
+    # layouts: see kernel_matvec_symmetric (vpu mirror keeps k unpadded;
+    # the MXU mirror pads k to the next sublane multiple and transposes
+    # the V1 blocks)
     mirror_mode = _sym_mirror_mode(cd, k)
-    k_pad = k if mirror_mode == "vpu" else 8
+    k_pad = k if mirror_mode == "vpu" else _round_up(k, 8)
     V1p = _pad_axis(_pad_axis(V1.astype(jnp.float32), T, 0), k_pad, 1)
     V2p = _pad_axis(_pad_axis(V2.astype(jnp.float32), T, 0), k_pad, 1)
 
@@ -1780,7 +1799,21 @@ def _mirror_dot6(kv, vit):
     (feature loop + exp), so the mirror contraction rides the otherwise
     IDLE MXU instead of a sublane reduce (measured: the per-column
     sublane-reduce mirror was 36 ms of the 106.5 ms triangle matvec at
-    n=65536, d=50 — 4.3 µs/tile, half the body cost)."""
+    n=65536, d=50 — 4.3 µs/tile, half the body cost).
+
+    Unlike :func:`_split_bf16`/:func:`_split_bf16_3` (which run in XLA
+    and NEED ``lax.optimization_barrier`` against the
+    ``--xla_allow_excess_precision`` folding of ``A - f32(bf16(A))`` to
+    zero), this split runs INSIDE the Pallas body and cannot carry the
+    barrier — Mosaic has no lowering for the primitive (verified
+    on-chip 2026-08-20: ``NotImplementedError: Unimplemented primitive
+    in Pallas TPU lowering ... optimization_barrier``). Mosaic also
+    does not apply that XLA simplification: the on-chip mirror parity
+    capture (benchmarks/MIRROR_PARITY_r4.json, 2026-08-20 — Laplace
+    symmetric k=4 at 1.37e-7 and exact-tier rbf k=10 at 1.52e-7 vs the
+    general kernel; 1.63e-6 vs an f64 oracle, matching the exact
+    tier's own error, against ~2e-3 if the split collapsed to plain
+    bf16) proves the 6-pass contraction survives lowering."""
     f32 = jnp.float32
     bf = jnp.bfloat16
     kh = kv.astype(bf)

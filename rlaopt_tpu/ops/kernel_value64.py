@@ -1,4 +1,4 @@
-"""Value-accurate (double-f32) RBF Gram matvec — the certified-residual path.
+"""Value-accurate (double-f32) kernel Gram matvec — the certified-residual path.
 
 ``kernel_matmat_value64`` evaluates ``k(X1, X2) @ V`` with kernel VALUES
 accurate to ~3e-9 relative (vs ~3e-7 for the plain f32 paths), returned as a
@@ -20,8 +20,11 @@ Structure mirrors the Laplace feature-blocked Pallas kernel
 blocks), two-float squared-distance scratch persisting across feature steps,
 one contraction per column tile. Inputs are pre-scaled by the lengthscale in
 f64 on the host and shipped as (hi, lo) f32 pairs, so ARD and scalar
-lengthscales are exact to ~2^-48. RBF only (the north-star KRR kernel);
-no reference analog — KeOps evaluates in native f32/f64 CUDA
+lengthscales are exact to ~2^-48. All five reference kernel families are
+supported (round 4): RBF/Matérn accumulate the squared distance, Laplace
+the L1 distance (two-float |Δ|), with per-family sqrt/polynomial epilogues
+(`tf_sqrt`, two-float Matérn polynomials). No reference analog — KeOps
+evaluates in native f32/f64 CUDA
 (`/root/reference/rlaopt/kernels/base.py:92-102`), a luxury bf16-era TPUs
 don't have.
 """
@@ -36,10 +39,26 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .twofloat import tf_exp, tf_mul_f32, tf_sqr_f32, two_prod, two_sum
+from .twofloat import (
+    tf_abs,
+    tf_add,
+    tf_add_f32,
+    tf_exp,
+    tf_mul,
+    tf_mul_f32,
+    tf_sqr_f32,
+    tf_sqrt,
+    two_prod,
+    two_sum,
+)
 
 
 __all__ = ["kernel_matmat_value64"]
+
+# 1/3 as a two-float (the Matérn-5/2 polynomial's 5D²/3 term = t²/3 with
+# t = √5·D, and t² = gamma·dist² is available pre-sqrt).
+_THIRD_H = np.float32(1.0 / 3.0)
+_THIRD_L = np.float32(1.0 / 3.0 - float(np.float32(1.0 / 3.0)))
 
 
 def _feature_block(d: int) -> int:
@@ -70,7 +89,7 @@ def _body_f32(
 def _body(
     xh_ref, xl_ref, yh_ref, yl_ref, v_ref, o_ref, olo_ref,
     acc_ref, lo_ref, d2h_ref, d2l_ref, *, nj, nb, gamma_h, gamma_l,
-    debug_skip=(),
+    kind="rbf", debug_skip=(),
 ):
     j = pl.program_id(1)
     b = pl.program_id(2)
@@ -105,9 +124,18 @@ def _body(
             dl = de  # inputs are exact f32: TwoSum captures everything
         else:
             dl = de + (xl[:, f : f + 1] - yl_row(f))
-        # diff^2 as a two-float: exact square of hi + first-order cross term
-        sh, sl = tf_sqr_f32(dh)
-        sl = sl + 2.0 * (dh * dl)
+        if kind == "laplace":
+            # L1 distance: |diff| accumulated as a two-float. The ARD
+            # lo-part add can denormalize the pair, so renormalize
+            # before the sign transfer (tf_abs assumes |lo|<=ulp(hi)/2).
+            if xl is not None:
+                dh, dl = two_sum(dh, dl)
+            sh, sl = tf_abs(dh, dl)
+        else:
+            # diff^2 as a two-float: exact square of hi + first-order
+            # cross term
+            sh, sl = tf_sqr_f32(dh)
+            sl = sl + 2.0 * (dh * dl)
         # accumulate (zero-padded features contribute exactly nothing)
         d2h, carry = two_sum(d2h, sh)
         d2l = d2l + (carry + sl)
@@ -116,15 +144,39 @@ def _body(
 
     @pl.when(b == nb - 1)
     def _():
-        # exp(-gamma·(d2h + d2l)): gamma = 1/(2·ls²) as a two-float scalar
-        # (folding the scalar lengthscale here keeps the X/Y inputs exact
-        # f32 — no lo-part operands, ~25% fewer distance-loop ops)
-        ah, al = tf_mul_f32(d2h_ref[:], d2l_ref[:], -gamma_h)
-        al = al + d2h_ref[:] * -gamma_l
-        if "exp" in debug_skip:
-            eh, el = ah, al
+        # Family epilogues on the accumulated two-float distance
+        # (squared distance for the dot-path families, L1 for Laplace),
+        # gamma folding the scalar lengthscale (see the caller):
+        #   rbf      exp(-g·D²)        g = 1/(2ls²)
+        #   laplace  exp(-g·L1)        g = 1/ls
+        #   matern12 exp(-t)           t = sqrt(g·D²), g = 1/ls²
+        #   matern32 (1+t)·exp(-t)     t = sqrt(g·D²), g = 3/ls²
+        #   matern52 (1+t+t²/3)e^(-t)  t = sqrt(g·D²), g = 5/ls²
+        # (parity: rlaopt/kernels/standard.py:31-86)
+        if kind in ("rbf", "laplace"):
+            ah, al = tf_mul_f32(d2h_ref[:], d2l_ref[:], -gamma_h)
+            al = al + d2h_ref[:] * -gamma_l
+            if "exp" in debug_skip:
+                eh, el = ah, al
+            else:
+                eh, el = tf_exp(ah, al)
         else:
-            eh, el = tf_exp(ah, al)
+            uh, ul = tf_mul_f32(d2h_ref[:], d2l_ref[:], gamma_h)
+            ul = ul + d2h_ref[:] * gamma_l
+            th, tl = tf_sqrt(uh, ul)
+            if "exp" in debug_skip:
+                eh, el = -th, -tl
+            else:
+                eh, el = tf_exp(-th, -tl)
+            if kind == "matern32":
+                ph_, pl_ = tf_add_f32(th, tl, jnp.float32(1.0))
+                eh, el = tf_mul(ph_, pl_, eh, el)
+            elif kind == "matern52":
+                u3h, u3l = tf_mul_f32(uh, ul, _THIRD_H)
+                u3l = u3l + uh * _THIRD_L
+                ph_, pl_ = tf_add(th, tl, u3h, u3l)
+                ph_, pl_ = tf_add_f32(ph_, pl_, jnp.float32(1.0))
+                eh, el = tf_mul(ph_, pl_, eh, el)
         if "contract" in debug_skip:
             acc_ref[:, 0:1] += jnp.sum(eh, axis=1, keepdims=True)
             lo_ref[:, 0:1] += jnp.sum(el, axis=1, keepdims=True)
@@ -189,9 +241,15 @@ def kernel_matmat_value64(
     tile_n: int = 512,
     chunk_rows=None,
     interpret=None,
+    kind: str = "rbf",
     _debug_skip=(),
 ):
-    """``c·exp(-||Δ/ls||²/2) @ V`` with ~3e-9-accurate kernel values.
+    """``c·k(X1, X2) @ V`` with ~3e-9-accurate kernel values, any family.
+
+    All five reference formulas (rlaopt/kernels/standard.py:31-86) are
+    supported since round 4: rbf, laplace (two-float |Δ| accumulation),
+    matern12/32/52 (two-float sqrt + polynomial epilogues on the
+    accumulated squared distance).
 
     Eager (not jit-traceable): inputs are pulled to the host once for the
     exact f64 lengthscale pre-scaling; the compute runs as one Pallas call.
@@ -201,6 +259,8 @@ def kernel_matmat_value64(
     (`LinSys.solve(f64_refine_rounds=..., f64_refine_device="accel")`), not
     inner solve loops — it costs ~10x the exact-f32 tier.
     """
+    if kind not in ("rbf", "laplace", "matern12", "matern32", "matern52"):
+        raise ValueError(f"unknown kernel kind {kind!r}")
     if interpret is None:
         # Mosaic only lowers on TPU backends; elsewhere run interpreted
         # (CPU tests / debugging)
@@ -220,15 +280,29 @@ def kernel_matmat_value64(
             "path for wider feature dims"
         )
 
+    # Per-family gamma folding the scalar lengthscale into the epilogue
+    # argument (see the _body epilogue comment): distance kernels use
+    # gamma·D², laplace gamma·L1.
+    _G_RAW = {
+        "rbf": lambda ls: 1.0 / (2.0 * ls**2),
+        "laplace": lambda ls: 1.0 / ls,
+        "matern12": lambda ls: 1.0 / ls**2,
+        "matern32": lambda ls: 3.0 / ls**2,
+        "matern52": lambda ls: 5.0 / ls**2,
+    }
+    _G_SCALED = {
+        "rbf": 0.5, "laplace": 1.0, "matern12": 1.0,
+        "matern32": 3.0, "matern52": 5.0,
+    }
     ls64 = np.asarray(lengthscale, np.float64)
     if ls64.ndim == 0:
         # scalar lengthscale: keep the raw f32 inputs EXACT (no lo parts,
         # ~25% fewer distance-loop ops and half the operand traffic) and
-        # fold 1/(2 ls²) into the exp argument as a two-float scalar
+        # fold the per-family gamma into the epilogue as a two-float scalar
         Xh = np.asarray(X1, np.float32)
         Yh = np.asarray(X2, np.float32)
         Xl = Yl = None
-        g64 = 1.0 / (2.0 * float(ls64) ** 2)
+        g64 = _G_RAW[kind](float(ls64))
     else:
         # ARD: pre-scale exactly in f64, ship (hi, lo) pairs
         Xs = np.asarray(X1, np.float64) / ls64
@@ -237,7 +311,7 @@ def kernel_matmat_value64(
         Xl = (Xs - Xh).astype(np.float32)
         Yh = Ys.astype(np.float32)
         Yl = (Ys - Yh).astype(np.float32)
-        g64 = 0.5
+        g64 = _G_SCALED[kind]
     gamma_h = np.float32(g64)
     gamma_l = np.float32(g64 - float(gamma_h))
 
@@ -295,12 +369,12 @@ def kernel_matmat_value64(
     if Xl is None:
         body = functools.partial(
             _body_f32, nj=nj, nb=nb, gamma_h=gamma_h, gamma_l=gamma_l,
-            debug_skip=_debug_skip,
+            kind=kind, debug_skip=_debug_skip,
         )
     else:
         body = functools.partial(
             _body, nj=nj, nb=nb, gamma_h=gamma_h, gamma_l=gamma_l,
-            debug_skip=_debug_skip,
+            kind=kind, debug_skip=_debug_skip,
         )
 
     def _chunk_inputs(s0):

@@ -34,10 +34,13 @@ __all__ = [
     "two_prod",
     "tf_add",
     "tf_add_f32",
+    "tf_mul",
     "tf_mul_f32",
     "tf_sqr_f32",
+    "tf_abs",
     "tf_neg",
     "tf_exp",
+    "tf_sqrt",
 ]
 
 # numpy scalars, not jnp arrays: Pallas kernels reject captured traced
@@ -122,8 +125,38 @@ def tf_sqr_f32(a):
     return p, e
 
 
+def tf_mul(xh, xl, yh, yl):
+    """Two-float * two-float (~2^-47 relative; xl·yl is second-order)."""
+    ph, pe = two_prod(xh, yh)
+    return fast_two_sum(ph, pe + (xh * yl + xl * yh))
+
+
+def tf_abs(xh, xl):
+    """|x| of a two-float. Normalized inputs (|lo| <= ulp(hi)/2) have
+    lo == 0 whenever hi == 0, so the sign of hi decides both parts."""
+    sgn = jnp.where(xh < 0, _F32(-1.0), _F32(1.0))
+    return xh * sgn, xl * sgn
+
+
 def tf_neg(xh, xl):
     return -xh, -xl
+
+
+def tf_sqrt(xh, xl):
+    """sqrt of a nonnegative two-float, as a two-float (~2^-48 relative).
+
+    One Newton/Heron correction of the f32 sqrt: s = sqrt(hi);
+    sqrt(x) ≈ s + (x − s²)/(2s), with x − s² computed exactly (s² is an
+    exact two-float square) — standard double-single sqrt (Dekker 1971).
+    x == 0 (exact on Gram diagonals: x − x = 0) returns (0, 0) through
+    the guarded division.
+    """
+    s = jnp.sqrt(xh)
+    ph, pe = tf_sqr_f32(s)
+    num = ((xh - ph) - pe) + xl
+    corr = num / jnp.where(s > 0, 2.0 * s, _F32(1.0))
+    corr = jnp.where(s > 0, corr, _F32(0.0))
+    return fast_two_sum(s, corr)
 
 
 # Degree-7 minimax-style (Taylor) polynomial for 2^f on f ∈ [-0.5, 0.5]:

@@ -88,6 +88,66 @@ def test_symmetric_multi_rhs_matches_general(k, cd):
         assert rel < 3e-6, (n, k, cd, rel)
 
 
+@pytest.mark.parametrize("k", [10, 16])
+@pytest.mark.parametrize("cd", [None, "bf16x3", "bfloat16"])
+def test_symmetric_k_to_16_matches_general(k, cd):
+    """Round-4 extension (VERDICT r3 item 2): the reference's headline
+    workload is k=10 RHS
+    (/root/reference/experiments/distributed_krr_linsys_askotch_solve_test.py:26-31);
+    all dot-path tiers now mirror through k=16 — the exact tier via the
+    6-pass MXU contraction ("highest"), k_pad=16 window rows."""
+    for n in (300, 700):  # even (padded) and odd tile grids
+        d = 9
+        X = jax.random.normal(KEY, (n, d), jnp.float32)
+        V = jax.random.normal(jax.random.fold_in(KEY, 2), (n, k), jnp.float32)
+        got = kernel_matvec_symmetric(
+            "rbf", X, V, 1.0, 1.0, compute_dtype=cd, tile=256, interpret=True
+        )
+        assert got.shape == (n, k)
+        ref = kernel_matmat_pallas(
+            "rbf", X, X, V, 1.0, 1.0, compute_dtype=cd, interpret=True
+        )
+        rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+        # mirror rows go through the tier-matched MXU contraction: the
+        # exact tier's 6-pass split truncates at ~2^-24 (f32-grade); the
+        # bfloat16 tier re-rounds to bf16 on those rows (~2e-3, within
+        # that tier's own ~1e-2 value error)
+        tol = {None: 3e-6, "bf16x3": 8e-6, "bfloat16": 4e-3}[cd]
+        assert rel < tol, (n, k, cd, rel)
+
+
+def test_pair_kernel_k10_exact_tier():
+    """Pair kernel at the reference headline k=10, exact tier (the
+    banded driver's building block past the single-window n)."""
+    n1, n2, d, k = 512, 260, 9, 10
+    X1 = jax.random.normal(KEY, (n1, d), jnp.float32)
+    X2 = jax.random.normal(jax.random.fold_in(KEY, 1), (n2, d), jnp.float32)
+    V2 = jax.random.normal(jax.random.fold_in(KEY, 2), (n2, k), jnp.float32)
+    V1 = jax.random.normal(jax.random.fold_in(KEY, 3), (n1, k), jnp.float32)
+    o1, o2 = kernel_pair_matmat(
+        "rbf", X1, X2, V2, V1, 1.4, 1.2, tile=256, interpret=True
+    )
+    r1 = kernel_matmat_pallas("rbf", X1, X2, V2, 1.4, 1.2, interpret=True)
+    r2 = kernel_matmat_pallas("rbf", X2, X1, V1, 1.4, 1.2, interpret=True)
+    for got, ref in ((o1, r1), (o2, r2)):
+        rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+        assert rel < 3e-6, rel
+
+
+def test_banded_symmetric_k10_exact_tier():
+    """Banded driver at k=10 on the exact tier (triangle diagonals +
+    pair off-diagonals, both through the "highest" MXU mirror)."""
+    n, d, k = 900, 9, 10
+    X = jax.random.normal(KEY, (n, d), jnp.float32)
+    V = jax.random.normal(jax.random.fold_in(KEY, 5), (n, k), jnp.float32)
+    got = kernel_matmat_symmetric_banded(
+        "rbf", X, V, 1.4, 1.1, tile=256, interpret=True, band_rows=512
+    )
+    ref = kernel_matmat_pallas("rbf", X, X, V, 1.4, 1.1, interpret=True)
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert rel < 3e-6, rel
+
+
 def test_symmetric_laplace_multi_rhs():
     """Laplace triangle kernel with k > 1: each RHS column owns rows of
     the mirror window (MXU 6-pass mirror mode at these sizes)."""
@@ -184,12 +244,16 @@ def test_supported_predicate():
     assert not kernel_symmetric_supported(10**5, 512, 9, "laplace", None)
     assert kernel_symmetric_supported(2 * 10**6, 512, 2, "laplace", None)
     assert not kernel_symmetric_supported(2 * 10**6, 512, 3, "laplace", None)
-    # multi-column RHS within the depth-aware window budget; the exact
-    # tier auto-dispatches only to k=2 (its VPU sublane-reduce mirror
-    # loses beyond — measured), the bf16 tiers to k=8 (MXU mirror)
+    # multi-column RHS within the depth-aware window budget: all
+    # dot-path tiers take k <= 16 (k >= 3 through the tier-matched MXU
+    # mirror — 6-pass "highest" on the exact tier since round 4)
     assert kernel_symmetric_supported(10**5, 28, 2, "rbf", None)
-    assert not kernel_symmetric_supported(10**5, 28, 3, "rbf", None)
-    assert not kernel_symmetric_supported(10**5, 28, 9, "rbf", "bf16x3")
+    assert kernel_symmetric_supported(10**5, 28, 3, "rbf", None)
+    assert kernel_symmetric_supported(10**5, 28, 10, "rbf", None)
+    assert kernel_symmetric_supported(10**5, 28, 9, "rbf", "bf16x3")
+    assert kernel_symmetric_supported(10**5, 28, 16, "rbf", "bf16x3")
+    assert not kernel_symmetric_supported(10**5, 28, 17, "rbf", "bf16x3")
+    assert not kernel_symmetric_supported(10**5, 28, 17, "rbf", None)
     # d=28 bf16x3 is depth 128: ~36.5 MiB of window at the 64 MiB scoped
     # limit -> the full k=8 fits at n=1M; k=1 reaches n ~ 9M
     assert kernel_symmetric_supported(10**6, 28, 8, "rbf", "bf16x3")
@@ -268,16 +332,15 @@ def test_banded_supported_predicate():
     assert kernel_symmetric_banded_supported(10**7, 50, 1, "rbf", "bf16x3")
     assert kernel_symmetric_banded_supported(4 * 10**6, 28, 3, "rbf", "bf16x3")
     # same hard gates as the triangle kernel
-    assert not kernel_symmetric_banded_supported(10**6, 28, 9, "rbf", None)
+    assert kernel_symmetric_banded_supported(10**6, 28, 9, "rbf", None)
+    assert not kernel_symmetric_banded_supported(10**6, 28, 17, "rbf", None)
     assert not kernel_symmetric_banded_supported(10**6, 512, 1, "rbf", None)
     # laplace: banded past the flat window cap (k<=8, band-count cap)
     assert kernel_symmetric_banded_supported(10**6, 28, 1, "laplace", None)
     assert kernel_symmetric_banded_supported(2 * 10**7, 28, 1, "laplace", None)
     assert kernel_symmetric_banded_supported(10**6, 28, 3, "laplace", None)
     assert not kernel_symmetric_banded_supported(10**6, 28, 9, "laplace", None)
-    # band-count cap: k=8 shrinks bands 8x. Use the bf16x3 tier so the
-    # rejection comes from the band COUNT (exact-tier k>2 is rejected by
-    # the earlier tier gate and would never reach the cap arithmetic);
-    # the same shape at k=1 has 8x fewer bands and stays eligible.
+    # band-count cap: k=8 shrinks bands 8x; the same shape at k=1 has
+    # 8x fewer bands and stays eligible.
     assert not kernel_symmetric_banded_supported(10**8, 28, 8, "rbf", "bf16x3")
     assert kernel_symmetric_banded_supported(10**8, 28, 1, "rbf", "bf16x3")

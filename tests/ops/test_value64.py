@@ -8,16 +8,33 @@ import jax.numpy as jnp
 from rlaopt_tpu.ops.kernel_value64 import kernel_matmat_value64
 
 
-def _f64_rbf_matmat(X, Y, V, ls):
+def _f64_kernel(kind, X, Y, ls):
     X64 = np.asarray(X, np.float64) / np.asarray(ls, np.float64)
     Y64 = np.asarray(Y, np.float64) / np.asarray(ls, np.float64)
+    if kind == "laplace":
+        return np.exp(
+            -np.abs(X64[:, None, :] - Y64[None, :, :]).sum(-1)
+        )
     d2 = (
         (X64**2).sum(1)[:, None]
         + (Y64**2).sum(1)[None, :]
         - 2.0 * X64 @ Y64.T
     )
     np.maximum(d2, 0.0, out=d2)
-    return np.exp(-0.5 * d2) @ np.asarray(V, np.float64)
+    if kind == "rbf":
+        return np.exp(-0.5 * d2)
+    r = np.sqrt(d2)
+    if kind == "matern12":
+        return np.exp(-r)
+    if kind == "matern32":
+        t = np.sqrt(3.0) * r
+        return (1.0 + t) * np.exp(-t)
+    t = np.sqrt(5.0) * r
+    return (1.0 + t + (5.0 / 3.0) * d2) * np.exp(-t)
+
+
+def _f64_rbf_matmat(X, Y, V, ls):
+    return _f64_kernel("rbf", X, Y, ls) @ np.asarray(V, np.float64)
 
 
 @pytest.mark.parametrize("d", [4, 28, 64])
@@ -72,6 +89,68 @@ def test_value64_ard_and_scaling():
     exact = c * _f64_rbf_matmat(X, Y, V, ls)
     rel = np.abs(got - exact).max() / np.abs(exact).max()
     assert rel < 1.5e-7
+
+
+@pytest.mark.parametrize(
+    "kind", ["laplace", "matern12", "matern32", "matern52"]
+)
+def test_value64_families_beat_f32_floor(kind):
+    """Round-4 extension (VERDICT r3 item 6): all five families get
+    f64-grade on-accel residual evaluation, not just RBF."""
+    rng = np.random.default_rng(3)
+    n, m, k, d = 260, 220, 2, 20
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    Y = rng.standard_normal((m, d)).astype(np.float32)
+    V = rng.standard_normal((m, k)).astype(np.float32)
+    ls = float(d) ** 0.5
+
+    hi, lo = kernel_matmat_value64(X, Y, V, ls, interpret=True, kind=kind)
+    got = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+    exact = _f64_kernel(kind, X, Y, ls) @ np.asarray(V, np.float64)
+    scale = np.abs(exact).max()
+    rel = np.abs(got - exact).max() / scale
+    assert rel < 1.5e-7, f"{kind} value64 rel err {rel:.2e}"
+
+    from rlaopt_tpu.ops.kernel_xla import kernel_matmat_xla
+
+    f32 = np.asarray(
+        kernel_matmat_xla(kind, jnp.asarray(X), jnp.asarray(Y),
+                          jnp.asarray(V), ls),
+        np.float64,
+    )
+    l2 = np.linalg.norm(got - exact)
+    l2_f32 = np.linalg.norm(f32 - exact)
+    # the f32 floor is family-dependent: rbf/laplace amplify the raw
+    # distance-accumulation cancellation into the value (~30-100x
+    # improvements available); the Matérn families route the distance
+    # error through dr = d(D²)/(2r), shrinking the f32 error itself —
+    # measured improvement there is ~8x, still far past what refinement
+    # needs (the rel < 1.5e-7 gate above is the certification bar)
+    floor = 30 if kind == "laplace" else 5
+    assert l2 < l2_f32 / floor, (
+        f"{kind} 2-norm ratio only {l2_f32 / l2:.1f}x"
+    )
+
+
+@pytest.mark.parametrize("kind", ["laplace", "matern32"])
+def test_value64_families_ard(kind):
+    """ARD lengthscales ride the (hi, lo) prescaled-input path for the
+    non-RBF families too."""
+    rng = np.random.default_rng(4)
+    n, m, d = 150, 120, 12
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    Y = rng.standard_normal((m, d)).astype(np.float32)
+    v = rng.standard_normal(m).astype(np.float32)
+    ls = rng.uniform(0.5, 3.0, d)
+    c = 1.37
+
+    hi, lo = kernel_matmat_value64(
+        X, Y, v, ls, const_scaling=c, interpret=True, kind=kind
+    )
+    got = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+    exact = c * (_f64_kernel(kind, X, Y, ls) @ np.asarray(v, np.float64))
+    rel = np.abs(got - exact).max() / np.abs(exact).max()
+    assert rel < 1.5e-7, f"{kind} ARD rel err {rel:.2e}"
 
 
 def test_value64_1d_rhs_and_dim_guard():

@@ -130,6 +130,7 @@ def test_initialize_multihost_single_process_fallback():
         initialize_multihost(num_processes=2, process_id=0)
 
 
+@pytest.mark.slow
 def test_multiprocess_dryrun():
     """2 OS processes × 4 virtual devices: the real jax.distributed path."""
     from rlaopt_tpu.parallel import run_multiprocess_dryrun

@@ -185,6 +185,7 @@ class TestShardedEndToEnd:
         W_true = np.linalg.solve(K + reg * np.eye(n), np.asarray(B))
         assert np.linalg.norm(W - W_true) / np.linalg.norm(W_true) < 1e-6
 
+    @pytest.mark.slow
     def test_sap_krr_sharded(self, key, mesh):
         """Sharded KRR via SAP block-coordinate with distributed oracles."""
         n, d, k = 64, 3, 2

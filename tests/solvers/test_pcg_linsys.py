@@ -468,6 +468,7 @@ class TestRecurrenceMetrics:
             final["rel_res"], true_m["rel_res"], rtol=1e-5
         )
 
+    @pytest.mark.slow
     def test_sampled_metrics_estimator_accuracy(self, key):
         """At n >> s the sampled estimate sits within a few stderr of the
         full residual norm (direct unit test of the estimator)."""
