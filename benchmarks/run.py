@@ -362,9 +362,16 @@ def config6_northstar_1m_pcg(max_iters=60):
     # a single round certify well below 1e-6 with two value64 residual
     # evaluations. callback_freq=3 keeps each compiled PCG chunk under the
     # runtime's ~80 s execution watchdog (a 1M matvec is ~15-20 s).
+    # residual_mode="update": the post-correction residual is
+    # R0 − (Aδ + reg·δ) with Aδ through the compensated exact-f32 path —
+    # one value64 sweep instead of two (each was ~1/3 of the r3 wall).
+    # Sound here: the adaptive correction target (0.3×1e-6) sits ~100×
+    # above the value64 evaluation floor, and the independent host
+    # sampled-f64 verification below confirms the claim end to end.
     W64, log = sys_.solve(
         cfg, jnp.zeros((n, 1), dtype=jnp.float32), callback_freq=3, key=key,
         f64_refine_rounds=1, f64_refine_device="accel",
+        f64_refine_residual="update",
     )
     wall = time.perf_counter() - t0
     it = max(i for i in log.keys() if isinstance(i, int))

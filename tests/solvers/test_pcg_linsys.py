@@ -598,6 +598,76 @@ class TestF64Refinement:
         assert max(hist[-1]) < max(hist[0])
         assert max(hist[-1]) < 1e-7
 
+    def test_refinement_updated_residual_modes(self, key):
+        """Round 4: ``f64_refine_residual="update"`` replaces per-round
+        value64 re-evaluation with ``R ← R − (Aδ + reg·δ)`` (compensated
+        exact-f32 Aδ). With a correction target well above the value64
+        evaluation floor, the updated claim must agree with an
+        independent host-f64 recomputation; the default "evaluate" mode
+        must stay certification-grade even when driven to the floor."""
+        import numpy as np
+
+        from rlaopt_tpu.kernels import KernelConfig, RBFLinOp
+        from rlaopt_tpu.models import LinSys
+        from rlaopt_tpu.preconditioners import NystromConfig
+        from rlaopt_tpu.solvers import PCGConfig
+
+        n, d = 384, 6
+        kx, kb = jax.random.split(key)
+        X = jax.random.normal(kx, (n, d), dtype=jnp.float32)
+        y = jax.random.normal(kb, (n,), dtype=jnp.float32)
+        reg = 1e-3 * n
+        ls = float(d) ** 0.5
+        X64 = np.asarray(X, np.float64) / ls
+        d2 = (
+            (X64**2).sum(1)[:, None] + (X64**2).sum(1)[None, :]
+            - 2.0 * X64 @ X64.T
+        )
+        K64 = np.exp(-0.5 * np.maximum(d2, 0.0))
+        y64 = np.asarray(y, np.float64)[:, None]
+
+        def true_rel(W64):
+            R = y64 - (K64 @ W64 + float(reg) * W64)
+            return float(np.linalg.norm(R) / np.linalg.norm(y64))
+
+        K = RBFLinOp(X, X, KernelConfig(lengthscale=ls))
+        # "update" with a target (1e-5) ~100x above the value64 floor at
+        # this scale: claim and truth agree to the documented grade
+        cfg = PCGConfig(
+            max_iters=60, rtol=1e-5,
+            precond_config=NystromConfig(rank=96, rho=float(reg)),
+        )
+        W64, log = LinSys(K, y, reg=float(reg)).solve(
+            cfg, jnp.zeros((n, 1), jnp.float32), callback_freq=20, key=key,
+            f64_refine_rounds=1, f64_refine_device="accel",
+            f64_refine_residual="update",
+        )
+        claimed = max(log["f64_refine"]["rel_res_f64"][-1])
+        t = true_rel(W64)
+        assert claimed <= 1e-5
+        assert abs(claimed - t) < 2e-7 + 0.1 * t, (claimed, t)
+
+        # default "evaluate" driven far below the value64 floor: the
+        # reported residual is the EVALUATED system's (it can undershoot
+        # the true one once below ~3e-9·amplification — here the RBF row
+        # sums amplify to ~1e-7·‖y‖; certification at such targets needs
+        # the independent verification the north-star capture carries).
+        # What must hold: the true residual lands AT that floor — i.e.
+        # refinement genuinely reached the evaluation-accuracy limit —
+        # and both modes' true residuals agree at the floor grade.
+        cfg2 = PCGConfig(
+            max_iters=60, rtol=1e-9,
+            precond_config=NystromConfig(rank=96, rho=float(reg)),
+        )
+        W64e, loge = LinSys(K, y, reg=float(reg)).solve(
+            cfg2, jnp.zeros((n, 1), jnp.float32), callback_freq=20, key=key,
+            f64_refine_rounds=2, f64_refine_device="accel",
+        )
+        claimed_e = max(loge["f64_refine"]["rel_res_f64"][-1])
+        t_e = true_rel(W64e)
+        assert claimed_e < 1e-9  # evaluated-system residual: converged
+        assert t_e < 5e-7, t_e  # true residual: at the value64 floor
+
     def test_dense_refinement(self, key):
         import numpy as np
 
