@@ -535,6 +535,116 @@ def config7_askotch_10m_reference_scale(max_iters=300):
     )
 
 
+def config8_accelerated_sap_certified():
+    """Accelerated SAP reaching a CERTIFIED target (VERDICT r3 item 4).
+
+    The reference's own headline hyperparameters make the acceleration
+    recurrence inert (mu·nu = 1, see SAPAccelConfig); no capture anywhere
+    had shown ASkotch's acceleration both (a) measurably beating plain
+    SAP and (b) ending at a certified residual. This config does both on
+    an n=100k RBF KRR with moderate conditioning:
+
+    1. a 50-iteration PLAIN pilot measures the per-iteration contraction
+       of the preconditioned sampled operator — the spectral quantity
+       the accelerated recurrence's mu wants (``sap_accel_from_pilot``);
+    2. plain vs accelerated trajectories at equal iteration count;
+    3. the accelerated solution is refined (1 round, accel device,
+       residual-update mode) and the final answer CERTIFIED by the
+       host-side streamed full f64 residual — independent numpy code.
+    """
+    from rlaopt_tpu.kernels import KernelConfig, RBFLinOp
+    from rlaopt_tpu.models import LinSys
+    from rlaopt_tpu.preconditioners import NystromConfig
+    from rlaopt_tpu.solvers import SAPConfig, sap_accel_from_pilot
+
+    n, d = 100_000, 10
+    key = jax.random.PRNGKey(0)
+    kx, kb = jax.random.split(key)
+    X = jax.random.normal(kx, (n, d), dtype=jnp.float32)
+    y = jax.random.normal(kb, (n,), dtype=jnp.float32)
+    reg = 1e-5 * n
+    ls = float(d) ** 0.5
+    blk = n // 8
+    K = RBFLinOp(X, X, KernelConfig(lengthscale=ls), compute_dtype="bf16x3")
+    base = dict(
+        rtol=1e-7, blk_sz=blk,
+        precond_config=NystromConfig(rank=256, rho=float(reg)),
+        power_iters=10,
+    )
+
+    def run(cfg, refine=False):
+        sys_ = LinSys(
+            K, y, reg=float(reg),
+            A_row_oracle=K.row_oracle, A_blk_oracle=K.blk_oracle,
+        )
+        kwargs = {}
+        if refine:
+            kwargs = dict(
+                f64_refine_rounds=1, f64_refine_device="accel",
+                f64_refine_residual="update",
+            )
+        t0 = time.perf_counter()
+        W, log = sys_.solve(
+            cfg, jnp.zeros((n, 1), jnp.float32), callback_freq=25,
+            key=jax.random.PRNGKey(7), metrics="true", **kwargs,
+        )
+        wall = time.perf_counter() - t0
+        its = sorted(i for i in log if isinstance(i, int))
+        traj = {
+            i: float(
+                jnp.max(log[i]["metrics"]["internal_metrics"]["rel_res"])
+            )
+            for i in its
+        }
+        return W, log, traj, wall
+
+    t_all = time.perf_counter()
+    pilot_iters, run_iters = 50, 300
+    _, _, ptraj, pilot_wall = run(
+        SAPConfig(max_iters=pilot_iters, accel=False, **base)
+    )
+    acc = sap_accel_from_pilot(ptraj[pilot_iters], pilot_iters, n, blk)
+    _, _, plain_traj, plain_wall = run(
+        SAPConfig(max_iters=run_iters, accel=False, **base)
+    )
+    W, log, accel_traj, accel_wall = run(
+        SAPConfig(max_iters=run_iters, accel=True, accel_config=acc, **base),
+        refine=True,
+    )
+    wall = time.perf_counter() - t_all
+    # independent certification: streamed full f64 residual, numpy only
+    r = _f64_residual(X, y, W, float(reg), ls)
+    import numpy as np
+
+    rel_true = float(
+        np.linalg.norm(r) / np.linalg.norm(np.asarray(y, np.float64))
+    )
+    _result(
+        "accelerated_sap_certified_100k", wall,
+        {
+            "pilot": {"iters": pilot_iters, "rel_res": ptraj[pilot_iters],
+                      "wall_s": round(pilot_wall, 1)},
+            "accel_params": {"mu": acc.mu, "nu": acc.nu},
+            "plain_rel_res_trajectory": {
+                i: round(v, 8) for i, v in plain_traj.items() if i % 50 == 0
+            },
+            "accel_rel_res_trajectory": {
+                i: round(v, 8) for i, v in accel_traj.items() if i % 50 == 0
+            },
+            "accel_vs_plain_at_equal_iters": round(
+                plain_traj[run_iters] / accel_traj[run_iters], 2
+            ),
+            "plain_wall_s": round(plain_wall, 1),
+            "accel_wall_s_incl_refine": round(accel_wall, 1),
+            "refine_claimed": [
+                float(max(h)) for h in log["f64_refine"]["rel_res_f64"]
+            ],
+            "rel_res_true_f64_host": rel_true,
+            "certified_1e-6": bool(rel_true <= 1e-6),
+        },
+    )
+
+
 CONFIGS = {
     1: config1_nystrom_pcg_cpu,
     2: config2_srht_lsqr,
@@ -543,6 +653,7 @@ CONFIGS = {
     5: config5_sharded_krr,
     6: config6_northstar_1m_pcg,
     7: config7_askotch_10m_reference_scale,
+    8: config8_accelerated_sap_certified,
 }
 
 

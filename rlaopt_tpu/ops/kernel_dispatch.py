@@ -44,7 +44,7 @@ def kernel_matmat(
     checks object identity at operator-construction time, before tracing
     splits them into distinct tracers); eligible applies (dot-path tiers
     incl. exact: up to 16 RHS columns via tier-matched MXU mirror
-    contractions; Laplace: up to 8 within the MXU mirror window n ≲ 1.3M,
+    contractions; Laplace: up to 16 within the MXU mirror window,
     k ≤ 2 beyond via the VPU sublane-reduce mirror) then take the
     triangle kernel, which visits only ~half the Gram tiles
     (:func:`rlaopt_tpu.ops.kernel_pallas.kernel_matvec_symmetric`).
@@ -98,7 +98,7 @@ def kernel_pair(
 ):
     """``(c·K @ V2, c·Kᵀ @ V1)`` with ``K = k(X1, X2)``, K evaluated ONCE
     when the Pallas pair kernel applies (triangle-kernel gates: k ≤ 16
-    on all dot-path tiers incl. exact, Laplace k ≤ 8 within its MXU
+    on all dot-path tiers incl. exact, Laplace k ≤ 16 within its MXU
     mirror window / k ≤ 2 beyond, the X2-side mirror window within the
     VMEM budget); otherwise two streaming calls.
     The building block of the symmetric ring schedule in

@@ -1214,13 +1214,13 @@ def _laplace_sym_mirror_mode(n: int, k: int):
     """Mirror engine for the Laplace symmetric bodies at size (n, k).
 
     "mxu" (preferred): one 6-pass bf16-split contraction per tile on the
-    otherwise-idle MXU — full f32-grade, k ≤ 8 — needs an 8-row-per-tile
-    window (4·8·n_p bytes). "vpu": per-column sublane reduces, k-row
-    window (largest single-window n, ~10.5M rows at k=1) but ~4.3 µs per
-    tile and only worthwhile at k ≤ 2. None: no single-window fit (the
-    banded driver takes over)."""
+    otherwise-idle MXU — full f32-grade, k ≤ 16 — needs a
+    round_up(k, 8)-row-per-tile window (4·k_pad·n_p bytes). "vpu":
+    per-column sublane reduces, k-row window (largest single-window n,
+    ~10.5M rows at k=1) but ~4.3 µs per tile and only worthwhile at
+    k ≤ 2. None: no single-window fit (the banded driver takes over)."""
     n_p = _round_up(n, 512)
-    if 4 * n_p * _LAPLACE_KPAD <= _SYM_OUT2_BUDGET_BYTES:
+    if k <= 16 and 4 * n_p * _round_up(k, 8) <= _SYM_OUT2_BUDGET_BYTES:
         return "mxu"
     if 4 * n_p * k <= _SYM_OUT2_BUDGET_BYTES:
         return "vpu"
@@ -1322,16 +1322,17 @@ def kernel_symmetric_supported(
     depth ≤ 512 (so the fixed T=512 tiles fit VMEM alongside the
     resident mirror window), and the mirror window itself fits the
     depth-aware budget (:func:`_sym_window_budget_bytes`). Laplace: the
-    MXU mirror window covers k ≤ 8 within n ≲ 1.3M; beyond that window
-    the VPU sublane-reduce mirror extends single-window reach to
-    ~10.5M rows at k ≤ 2."""
+    MXU mirror window covers k ≤ 16 (n ≲ 1.3M at k ≤ 8, ~650k at
+    k ≤ 16); beyond that window the VPU sublane-reduce mirror extends
+    single-window reach to ~10.5M rows at k ≤ 2."""
     if kind == "laplace":
         # Feature-blocked VPU kernel: any d, exp-tier-independent. The
         # MXU mirror mode (6-pass split contraction on the body's idle
-        # MXU — full f32-grade) takes k ≤ 8 within its 8-row window
-        # (n ≤ ~1.3M); past that the VPU sublane-reduce mirror extends
+        # MXU — full f32-grade) takes k ≤ 16 within its
+        # round_up(k, 8)-row window (n ≲ 1.3M at k ≤ 8, ~650k at
+        # k ≤ 16); past that the VPU sublane-reduce mirror extends
         # the single window to ~10.5M rows at k ≤ 2.
-        if compensated or k > 8:
+        if compensated or k > 16:
             return False
         mode = _laplace_sym_mirror_mode(n, k)
         if mode is None or (mode == "vpu" and k > 2):
@@ -1679,16 +1680,15 @@ def _sym_band_rows(depth: int, k: int, tile: int = 512) -> int:
 
 
 def _laplace_sym_band_rows(k: int, tile: int = 512) -> int:
-    """Laplace band height: the flat OUT2 budget divided by the 8-row
-    MXU mirror window (bands are sized so every within-band kernel runs
-    the fast MXU mirror mode; the feature-blocked body has no
-    folded-depth operand streams to charge — its scratch mix is the
-    (T, T) L1 tile plus the (T, k) accumulator, both inside the 64 MiB
-    scoped headroom)."""
-    del k  # the MXU window is 8 rows/tile regardless of k
+    """Laplace band height: the flat OUT2 budget divided by the
+    round_up(k, 8)-row MXU mirror window (bands are sized so every
+    within-band kernel runs the fast MXU mirror mode; the
+    feature-blocked body has no folded-depth operand streams to charge —
+    its scratch mix is the (T, T) L1 tile plus the (T, k) accumulator,
+    both inside the 64 MiB scoped headroom)."""
     return max(
         tile,
-        _SYM_OUT2_BUDGET_BYTES // (4 * _LAPLACE_KPAD) // tile * tile,
+        _SYM_OUT2_BUDGET_BYTES // (4 * _round_up(k, 8)) // tile * tile,
     )
 
 
@@ -1707,7 +1707,7 @@ def kernel_symmetric_banded_supported(
     constraint relaxed to PER-BAND (any n up to the band-count cap).
     The single-window predicate implies this one."""
     if kind == "laplace":
-        if compensated or k > 8:
+        if compensated or k > 16:
             return False
         band = _laplace_sym_band_rows(k)
         return -(-n // band) <= _SYM_MAX_BANDS
@@ -1834,6 +1834,7 @@ def _mirror_dot6(kv, vit):
 
 def _laplace_sym_epilogue(
     kv, acc_ref, o2_ref, vj, vi, jrow, k_real, mirror_mode="mxu",
+    k_pad=_LAPLACE_KPAD,
 ):
     """Both-triangle contractions of a finished Laplace tile.
 
@@ -1851,9 +1852,7 @@ def _laplace_sym_epilogue(
             kv * vj[c : c + 1, :], axis=1, keepdims=True
         )
     if mirror_mode == "mxu":
-        o2_ref[pl.ds(jrow * _LAPLACE_KPAD, _LAPLACE_KPAD), :] += (
-            _mirror_dot6(kv, vi)
-        )
+        o2_ref[pl.ds(jrow * k_pad, k_pad), :] += _mirror_dot6(kv, vi)
         return
     for c in range(k_real):
         o2_ref[pl.ds(jrow * k_real + c, 1), :] += jnp.sum(
@@ -1863,7 +1862,7 @@ def _laplace_sym_epilogue(
 
 def _body_sym_laplace(
     x_ref, y_ref, vj_ref, vi_ref, o1_ref, o2_ref, acc_ref, l1_ref,
-    *, nt, ns, nt_even, nb, k_real, mirror_mode,
+    *, nt, ns, nt_even, nb, k_real, mirror_mode, k_pad=_LAPLACE_KPAD,
 ):
     """Symmetric Laplace body: circulant pairing (as ``_body_sym``) with
     the L1 feature-block axis as a third grid dimension. The VPU feature
@@ -1905,7 +1904,7 @@ def _body_sym_laplace(
             kv, acc_ref, o2_ref,
             vj_ref[:].astype(f32) * active,
             vi_ref[:].astype(f32) * mirror_ok,
-            j, k_real, mirror_mode,
+            j, k_real, mirror_mode, k_pad,
         )
 
     @pl.when(jnp.logical_and(s == ns - 1, b == nb - 1))
@@ -1943,7 +1942,7 @@ def _laplace_matvec_symmetric(Xs, V, tile, interpret, force_mode=None):
 
     mirror_mode = force_mode or _laplace_sym_mirror_mode(n, k) or "vpu"
     if mirror_mode == "mxu":
-        k_win = _LAPLACE_KPAD
+        k_win = _round_up(k, 8)
         vi_in = _pad_axis(Vp, k_win, 1).T
         vi_spec = pl.BlockSpec((k_win, T), lambda i, s, b: (0, i))
     else:
@@ -1954,7 +1953,7 @@ def _laplace_matvec_symmetric(Xs, V, tile, interpret, force_mode=None):
     out1, out2 = pl.pallas_call(
         functools.partial(
             _body_sym_laplace, nt=nt, ns=ns, nt_even=nt_even, nb=nb,
-            k_real=k, mirror_mode=mirror_mode,
+            k_real=k, mirror_mode=mirror_mode, k_pad=k_win,
         ),
         grid=(nt, ns, nb),
         in_specs=[
@@ -2000,7 +1999,7 @@ def _laplace_matvec_symmetric(Xs, V, tile, interpret, force_mode=None):
 
 def _body_pair_laplace(
     x_ref, y_ref, vj_ref, vi_ref, o1_ref, o2_ref, acc_ref, l1_ref,
-    *, nj, nb, k_real, mirror_mode,
+    *, nj, nb, k_real, mirror_mode, k_pad=_LAPLACE_KPAD,
 ):
     """Two-output rectangular Laplace body (``_body_pair`` for the L1
     feature-blocked engine): the grid is the full (nt1, nt2, nb) slab of
@@ -2038,7 +2037,7 @@ def _body_pair_laplace(
         kv = jnp.exp(-l1_ref[:])
         _laplace_sym_epilogue(
             kv, acc_ref, o2_ref, vj_ref[:].astype(f32),
-            vi_ref[:].astype(f32), j, k_real, mirror_mode,
+            vi_ref[:].astype(f32), j, k_real, mirror_mode, k_pad,
         )
 
     @pl.when(jnp.logical_and(j == nj - 1, b == nb - 1))
@@ -2075,7 +2074,7 @@ def _laplace_pair_matmat(Xs1, Xs2, V2, V1, tile, interpret,
     # the mirror window is sized by the X2 side
     mirror_mode = force_mode or _laplace_sym_mirror_mode(n2, k) or "vpu"
     if mirror_mode == "mxu":
-        k_win = _LAPLACE_KPAD
+        k_win = _round_up(k, 8)
         vi_in = _pad_axis(V1p, k_win, 1).T
         vi_spec = pl.BlockSpec((k_win, T), lambda i, j, b: (0, i))
     else:
@@ -2086,7 +2085,7 @@ def _laplace_pair_matmat(Xs1, Xs2, V2, V1, tile, interpret,
     out1, out2 = pl.pallas_call(
         functools.partial(
             _body_pair_laplace, nj=nt2, nb=nb, k_real=k,
-            mirror_mode=mirror_mode,
+            mirror_mode=mirror_mode, k_pad=k_win,
         ),
         grid=(nt1, nt2, nb),
         in_specs=[

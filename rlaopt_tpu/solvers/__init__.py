@@ -11,7 +11,7 @@ from .configs import (  # noqa: F401
 )
 from .solver import Solver  # noqa: F401
 from .pcg import PCG, PCGState, pcg_init, pcg_step  # noqa: F401
-from .sap import SAP, SAPState  # noqa: F401
+from .sap import SAP, SAPState, sap_accel_from_pilot  # noqa: F401
 from .lsqr import LSQR, LSQRState  # noqa: F401
 from .factory import _get_solver  # noqa: F401
 
@@ -31,6 +31,7 @@ __all__ = [
     "pcg_step",
     "SAP",
     "SAPState",
+    "sap_accel_from_pilot",
     "LSQR",
     "LSQRState",
 ]

@@ -53,7 +53,43 @@ if TYPE_CHECKING:
     from ..models import LinSys
 
 
-__all__ = ["SAP", "SAPState"]
+__all__ = ["SAP", "SAPState", "sap_accel_from_pilot"]
+
+
+def sap_accel_from_pilot(
+    rel_res: float, iters: int, n: int, blk_sz: int, safety: float = 0.9,
+) -> SAPAccelConfig:
+    """Accelerated-SAP (μ, ν) from a short PLAIN-SAP pilot run.
+
+    The reference leaves (μ, ν) to the user — its own headline experiment
+    picks μ·ν = 1, which makes the Nesterov recurrence exactly inert (see
+    ``SAPAccelConfig``). The theory wants μ = strong convexity of the
+    expected preconditioned iteration and ν ≈ n/blk_sz; neither the raw
+    inverse condition number (orders too small — measured 1e4× slower than
+    plain at n=4096) nor the Nyström S-floor ratio ``ρ/(S_min+ρ)``
+    (~25× too aggressive on the same problem) predicts a usable μ. What
+    does: plain SAP's own measured per-iteration contraction ``c`` IS a
+    spectral measurement of the preconditioned sampled operator —
+    ``1 − c ≈ (blk_sz/n)·λ_min(P̄⁻¹Ā)``, exactly the μ the accelerated
+    recurrence wants. Grid-validated at n=4096/blk=n/8 (μ* plateau
+    [0.01, 0.03] ∋ pilot estimate 0.0215; accel beats plain 5.5× in
+    residual at equal iterations — benchmarks/SAP_ACCEL_r4.json).
+
+    Args: ``rel_res`` — the pilot's final max relative residual;
+    ``iters`` — pilot iteration count; ``safety`` caps μ at
+    ``safety/ν`` (μ·ν < 1 is required for a live recurrence).
+    """
+    import math
+
+    if not (0.0 < rel_res < 1.0):
+        raise ValueError(
+            f"pilot rel_res must be in (0, 1), got {rel_res} — run enough "
+            "pilot iterations for measurable contraction"
+        )
+    nu = n / blk_sz
+    c = math.exp(math.log(rel_res) / max(iters, 1))
+    mu = min(1.0 - c, safety / nu)
+    return SAPAccelConfig(mu=float(mu), nu=float(nu))
 
 VALID_PRECONDS = [IdentityConfig, NewtonConfig, NystromConfig]
 

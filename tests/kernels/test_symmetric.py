@@ -150,8 +150,9 @@ def test_banded_symmetric_k10_exact_tier():
 
 def test_symmetric_laplace_multi_rhs():
     """Laplace triangle kernel with k > 1: each RHS column owns rows of
-    the mirror window (MXU 6-pass mirror mode at these sizes)."""
-    for n, k in ((300, 2), (700, 5), (700, 8)):
+    the mirror window (MXU 6-pass mirror mode at these sizes; k ≤ 16
+    since round 4 — the window is round_up(k, 8) rows per tile)."""
+    for n, k in ((300, 2), (700, 5), (700, 8), (700, 12)):
         d = 20
         X = jax.random.normal(KEY, (n, d), jnp.float32)
         V = jax.random.normal(jax.random.fold_in(KEY, 4), (n, k), jnp.float32)
@@ -241,7 +242,8 @@ def test_supported_predicate():
     assert kernel_symmetric_supported(10**6, 512, 1, "laplace", None)
     assert kernel_symmetric_supported(10**5, 512, 2, "laplace", None)
     assert kernel_symmetric_supported(10**5, 512, 8, "laplace", None)
-    assert not kernel_symmetric_supported(10**5, 512, 9, "laplace", None)
+    assert kernel_symmetric_supported(10**5, 512, 16, "laplace", None)
+    assert not kernel_symmetric_supported(10**5, 512, 17, "laplace", None)
     assert kernel_symmetric_supported(2 * 10**6, 512, 2, "laplace", None)
     assert not kernel_symmetric_supported(2 * 10**6, 512, 3, "laplace", None)
     # multi-column RHS within the depth-aware window budget: all
@@ -339,7 +341,10 @@ def test_banded_supported_predicate():
     assert kernel_symmetric_banded_supported(10**6, 28, 1, "laplace", None)
     assert kernel_symmetric_banded_supported(2 * 10**7, 28, 1, "laplace", None)
     assert kernel_symmetric_banded_supported(10**6, 28, 3, "laplace", None)
-    assert not kernel_symmetric_banded_supported(10**6, 28, 9, "laplace", None)
+    assert kernel_symmetric_banded_supported(10**6, 28, 9, "laplace", None)
+    assert not kernel_symmetric_banded_supported(
+        10**6, 28, 17, "laplace", None
+    )
     # band-count cap: k=8 shrinks bands 8x; the same shape at k=1 has
     # 8x fewer bands and stays eligible.
     assert not kernel_symmetric_banded_supported(10**8, 28, 8, "rbf", "bf16x3")
