@@ -86,28 +86,24 @@ def _body_f32(
     )
 
 
-def _body(
-    xh_ref, xl_ref, yh_ref, yl_ref, v_ref, o_ref, olo_ref,
-    acc_ref, lo_ref, d2h_ref, d2l_ref, *, nj, nb, gamma_h, gamma_l,
-    kind="rbf", debug_skip=(),
+def _accumulate_distance_block(
+    xh_ref, xl_ref, yh_ref, yl_ref, d2h_ref, d2l_ref, kind, debug_skip,
+    f64_acc=False,
 ):
-    j = pl.program_id(1)
-    b = pl.program_id(2)
+    """One feature block of the two-float distance accumulation.
 
-    @pl.when(jnp.logical_and(j == 0, b == 0))
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-        lo_ref[:] = jnp.zeros_like(lo_ref)
+    Laplace-style feature slabs: 8-lane X tiles were measured 150x slower
+    than the >=32-lane layouts the Laplace/direct kernels use, so fb is
+    >=32-ish (see _feature_block) and X blocks are (tm, fb) 2-D when one
+    slab spans the whole feature axis, (1, tm, fb) 3-D otherwise.
 
-    @pl.when(b == 0)
-    def _():
-        d2h_ref[:] = jnp.zeros_like(d2h_ref)
-        d2l_ref[:] = jnp.zeros_like(d2l_ref)
-
-    # Laplace-style feature slabs: 8-lane X tiles were measured 150x slower
-    # than the ≥32-lane layouts the Laplace/direct kernels use, so fb is
-    # ≥32-ish (see _feature_block) and X blocks are (tm, fb) 2-D when one
-    # slab spans the whole feature axis, (1, tm, fb) 3-D otherwise.
+    Per-feature terms land in N_ACC independent two-float partial
+    accumulators (round-robin) that merge into the persistent d2 once
+    per feature block: the per-feature accumulate is a ~8-op SERIAL
+    vector-op chain, and with one accumulator it was the body's critical
+    path (every other feature op has cross-feature ILP). Four interleaved
+    chains keep the VPU pipeline fed.
+    """
     xh = xh_ref[0] if xh_ref.ndim == 3 else xh_ref[:]
     xl = None if xl_ref is None else (
         xl_ref[0] if xl_ref.ndim == 3 else xl_ref[:]
@@ -115,8 +111,31 @@ def _body(
     yl_row = (lambda f: None) if yl_ref is None else (
         lambda f: yl_ref[f : f + 1, :]
     )
-    d2h, d2l = d2h_ref[:], d2l_ref[:]
-    for f in range(0 if "dist" in debug_skip else xh.shape[1]):
+    if f64_acc:
+        # interpret/XLA:CPU: the two-float chains below are NOT safe
+        # under the CPU fusion emitter (nondeterministic reassociation
+        # across compiles — measured ~6e-8 kernel-value error appearing
+        # run-to-run); CPU has native f64, so accumulate the distance
+        # exactly there instead. d2h_ref is f64 in this mode.
+        f64 = jnp.float64
+        x64 = xh.astype(f64)
+        if xl is not None:
+            x64 = x64 + xl.astype(f64)
+        acc = d2h_ref[:]
+        for f in range(0 if "dist" in debug_skip else xh.shape[1]):
+            dh = x64[:, f : f + 1] - yh_ref[f : f + 1, :].astype(f64)
+            if yl_ref is not None:
+                dh = dh - yl_ref[f : f + 1, :].astype(f64)
+            acc = acc + (jnp.abs(dh) if kind == "laplace" else dh * dh)
+        d2h_ref[:] = acc
+        return
+    n_acc = 4
+    nf = 0 if "dist" in debug_skip else xh.shape[1]
+    parts = [
+        (jnp.zeros_like(d2h_ref[:]), jnp.zeros_like(d2h_ref[:]))
+        for _ in range(min(n_acc, max(nf, 1)))
+    ]
+    for f in range(nf):
         # diff as a two-float: exact TwoSum of the hi parts (+ lo parts
         # when the inputs are two-float, i.e. ARD/host-prescaled)
         dh, de = two_sum(xh[:, f : f + 1], -yh_ref[f : f + 1, :])
@@ -137,69 +156,150 @@ def _body(
             sh, sl = tf_sqr_f32(dh)
             sl = sl + 2.0 * (dh * dl)
         # accumulate (zero-padded features contribute exactly nothing)
-        d2h, carry = two_sum(d2h, sh)
-        d2l = d2l + (carry + sl)
-    d2h_ref[:] = d2h
-    d2l_ref[:] = d2l
+        ah, al = parts[f % n_acc]
+        ah, carry = two_sum(ah, sh)
+        parts[f % n_acc] = (ah, al + (carry + sl))
+    if nf:
+        # pairwise-merge the partials, then fold into the persistent d2
+        while len(parts) > 1:
+            merged = []
+            for i in range(0, len(parts) - 1, 2):
+                merged.append(tf_add(*parts[i], *parts[i + 1]))
+            if len(parts) % 2:
+                merged.append(parts[-1])
+            parts = merged
+        bh, bl = parts[0]
+        d2h, carry = two_sum(d2h_ref[:], bh)
+        d2h_ref[:] = d2h
+        d2l_ref[:] = d2l_ref[:] + (carry + bl)
+
+
+def _family_epilogue(d2h, d2l, kind, gamma_h, gamma_l, debug_skip,
+                     f64_acc=False):
+    """Two-float kernel values (eh, el) from the accumulated distance.
+
+    Family epilogues on the accumulated two-float distance (squared
+    distance for the dot-path families, L1 for Laplace), gamma folding
+    the scalar lengthscale (see the caller):
+      rbf      exp(-g*D^2)          g = 1/(2 ls^2)
+      laplace  exp(-g*L1)           g = 1/ls
+      matern12 exp(-t)              t = sqrt(g*D^2), g = 1/ls^2
+      matern32 (1+t)*exp(-t)        t = sqrt(g*D^2), g = 3/ls^2
+      matern52 (1+t+t^2/3)*exp(-t)  t = sqrt(g*D^2), g = 5/ls^2
+    (parity: rlaopt/kernels/standard.py:31-86)
+    """
+    if f64_acc:
+        # native-f64 epilogue (see _accumulate_distance_block): returns
+        # (v64, None) — consumers treat None el as "eh is already the
+        # full-precision value"
+        f64 = jnp.float64
+        g = jnp.asarray(gamma_h, f64) + jnp.asarray(gamma_l, f64)
+        if kind in ("rbf", "laplace"):
+            arg = -g * d2h
+            return (arg if "exp" in debug_skip else jnp.exp(arg)), None
+        t = jnp.sqrt(g * d2h)
+        if "exp" in debug_skip:
+            return -t, None
+        e = jnp.exp(-t)
+        if kind == "matern32":
+            e = (1.0 + t) * e
+        elif kind == "matern52":
+            e = (1.0 + t + g * d2h / 3.0) * e
+        return e, None
+    if kind in ("rbf", "laplace"):
+        ah, al = tf_mul_f32(d2h, d2l, -gamma_h)
+        al = al + d2h * -gamma_l
+        if "exp" in debug_skip:
+            return ah, al
+        return tf_exp(ah, al)
+    uh, ul = tf_mul_f32(d2h, d2l, gamma_h)
+    ul = ul + d2h * gamma_l
+    th, tl = tf_sqrt(uh, ul)
+    if "exp" in debug_skip:
+        eh, el = -th, -tl
+    else:
+        eh, el = tf_exp(-th, -tl)
+    if kind == "matern32":
+        ph_, pl_ = tf_add_f32(th, tl, jnp.float32(1.0))
+        eh, el = tf_mul(ph_, pl_, eh, el)
+    elif kind == "matern52":
+        u3h, u3l = tf_mul_f32(uh, ul, _THIRD_H)
+        u3l = u3l + uh * _THIRD_L
+        ph_, pl_ = tf_add(th, tl, u3h, u3l)
+        ph_, pl_ = tf_add_f32(ph_, pl_, jnp.float32(1.0))
+        eh, el = tf_mul(ph_, pl_, eh, el)
+    return eh, el
+
+
+def _body(
+    xh_ref, xl_ref, yh_ref, yl_ref, v_ref, o_ref, olo_ref,
+    acc_ref, lo_ref, d2h_ref, d2l_ref, *, nj, nb, gamma_h, gamma_l,
+    kind="rbf", debug_skip=(), f64_acc=False,
+):
+    j = pl.program_id(1)
+    b = pl.program_id(2)
+
+    @pl.when(jnp.logical_and(j == 0, b == 0))
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        lo_ref[:] = jnp.zeros_like(lo_ref)
+
+    @pl.when(b == 0)
+    def _():
+        d2h_ref[:] = jnp.zeros_like(d2h_ref)
+        d2l_ref[:] = jnp.zeros_like(d2l_ref)
+
+    _accumulate_distance_block(
+        xh_ref, xl_ref, yh_ref, yl_ref, d2h_ref, d2l_ref, kind,
+        debug_skip, f64_acc,
+    )
 
     @pl.when(b == nb - 1)
     def _():
-        # Family epilogues on the accumulated two-float distance
-        # (squared distance for the dot-path families, L1 for Laplace),
-        # gamma folding the scalar lengthscale (see the caller):
-        #   rbf      exp(-g·D²)        g = 1/(2ls²)
-        #   laplace  exp(-g·L1)        g = 1/ls
-        #   matern12 exp(-t)           t = sqrt(g·D²), g = 1/ls²
-        #   matern32 (1+t)·exp(-t)     t = sqrt(g·D²), g = 3/ls²
-        #   matern52 (1+t+t²/3)e^(-t)  t = sqrt(g·D²), g = 5/ls²
-        # (parity: rlaopt/kernels/standard.py:31-86)
-        if kind in ("rbf", "laplace"):
-            ah, al = tf_mul_f32(d2h_ref[:], d2l_ref[:], -gamma_h)
-            al = al + d2h_ref[:] * -gamma_l
-            if "exp" in debug_skip:
-                eh, el = ah, al
-            else:
-                eh, el = tf_exp(ah, al)
-        else:
-            uh, ul = tf_mul_f32(d2h_ref[:], d2l_ref[:], gamma_h)
-            ul = ul + d2h_ref[:] * gamma_l
-            th, tl = tf_sqrt(uh, ul)
-            if "exp" in debug_skip:
-                eh, el = -th, -tl
-            else:
-                eh, el = tf_exp(-th, -tl)
-            if kind == "matern32":
-                ph_, pl_ = tf_add_f32(th, tl, jnp.float32(1.0))
-                eh, el = tf_mul(ph_, pl_, eh, el)
-            elif kind == "matern52":
-                u3h, u3l = tf_mul_f32(uh, ul, _THIRD_H)
-                u3l = u3l + uh * _THIRD_L
-                ph_, pl_ = tf_add(th, tl, u3h, u3l)
-                ph_, pl_ = tf_add_f32(ph_, pl_, jnp.float32(1.0))
-                eh, el = tf_mul(ph_, pl_, eh, el)
+        eh, el = _family_epilogue(
+            d2h_ref[:], d2l_ref[:], kind, gamma_h, gamma_l, debug_skip,
+            f64_acc,
+        )
         if "contract" in debug_skip:
             acc_ref[:, 0:1] += jnp.sum(eh, axis=1, keepdims=True)
             lo_ref[:, 0:1] += jnp.sum(el, axis=1, keepdims=True)
             return
         vt = v_ref[:]  # (k_p, tn): row c is RHS column c
-        # Compensated contraction: an MXU dot would accumulate in f32 and
-        # reintroduce ~eps·Σ|K·V| error (measured 4e-7 relative — as bad as
-        # the f32 kernel values this path exists to beat). TwoProd each
-        # product, then a TwoSum-compensated binary-tree lane reduction.
-        for c in range(vt.shape[0]):
-            vrow = vt[c : c + 1, :]
-            ph, pe = two_prod(eh, vrow)
-            pe = pe + el * vrow
-            hi_c, lo_c = _comp_lane_sum(ph, pe)
-            a = acc_ref[:, c : c + 1]
-            s, e = two_sum(a, hi_c)
-            acc_ref[:, c : c + 1] = s
-            lo_ref[:, c : c + 1] = lo_ref[:, c : c + 1] + (e + lo_c)
+        if f64_acc:
+            # interpret/XLA:CPU: native-f64 contraction (see _body_pair64)
+            v64 = eh  # the f64 epilogue returns the full-precision value
+            for c in range(vt.shape[0]):
+                acc_ref[:, c : c + 1] += jnp.sum(
+                    v64 * vt[c : c + 1, :].astype(jnp.float64), axis=1,
+                    keepdims=True,
+                )
+        else:
+            # Compensated contraction: an MXU dot would accumulate in f32
+            # and reintroduce ~eps·Σ|K·V| error (measured 4e-7 relative —
+            # as bad as the f32 kernel values this path exists to beat).
+            # TwoProd each product, then a TwoSum-compensated binary-tree
+            # lane reduction.
+            for c in range(vt.shape[0]):
+                vrow = vt[c : c + 1, :]
+                ph, pe = two_prod(eh, vrow)
+                pe = pe + el * vrow
+                hi_c, lo_c = _comp_lane_sum(ph, pe)
+                a = acc_ref[:, c : c + 1]
+                s, e = two_sum(a, hi_c)
+                acc_ref[:, c : c + 1] = s
+                lo_ref[:, c : c + 1] = lo_ref[:, c : c + 1] + (e + lo_c)
 
     @pl.when(jnp.logical_and(j == nj - 1, b == nb - 1))
     def _():
-        o_ref[:] = acc_ref[:]
-        olo_ref[:] = lo_ref[:]
+        if f64_acc:
+            hi = acc_ref[:].astype(jnp.float32)
+            o_ref[:] = hi
+            olo_ref[:] = (
+                acc_ref[:] - hi.astype(jnp.float64)
+            ).astype(jnp.float32)
+        else:
+            o_ref[:] = acc_ref[:]
+            olo_ref[:] = lo_ref[:]
 
 
 def _comp_lane_sum(ph, pe):
@@ -217,6 +317,302 @@ def _comp_lane_sum(ph, pe):
         err = err[:, :half] + err[:, half:] + e
         w = half
     return s, err
+
+
+def _comp_sublane_sum(ph, pe):
+    """Compensated sum over the sublane axis: (h, tn) → (1, tn)."""
+    s, err = ph, pe
+    h = s.shape[0]
+    while h > 1:
+        half = h // 2
+        s, e = two_sum(s[:half, :], s[half:, :])
+        err = err[:half, :] + err[half:, :] + e
+        h = half
+    return s, err
+
+
+def _body_pair64(
+    xh_ref, xl_ref, yh_ref, yl_ref, vjt_ref, vi_ref,
+    o1_ref, o1lo_ref, o2_ref, o2lo_ref,
+    acc_ref, lo_ref, d2h_ref, d2l_ref,
+    *, nj, nb, gamma_h, gamma_l, kind="rbf", f64_acc=False,
+):
+    """Two-output value64 body: one two-float K_IJ evaluation serves both
+    ``K@V_J → o1[I]`` and ``KᵀV_I → o2[J]`` — the symmetric pair trick
+    (``kernel_pallas._body_pair``) applied to the certified-residual
+    engine, where the ~850-op/pair two-float distance+exp work dwarfs the
+    second contraction. The mirror output lives TRANSPOSED (k, C_J) so
+    its per-tile writes are lane-aligned; its contraction is a
+    compensated SUBLANE pairwise reduce (:func:`_comp_sublane_sum`).
+    Both outputs are compensated (hi, lo) pairs, resident for the whole
+    grid (constant index maps)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    b = pl.program_id(2)
+
+    @pl.when(
+        jnp.logical_and(jnp.logical_and(i == 0, j == 0), b == 0)
+    )
+    def _():
+        o2_ref[:] = jnp.zeros_like(o2_ref)
+        o2lo_ref[:] = jnp.zeros_like(o2lo_ref)
+
+    @pl.when(jnp.logical_and(j == 0, b == 0))
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        lo_ref[:] = jnp.zeros_like(lo_ref)
+
+    @pl.when(b == 0)
+    def _():
+        d2h_ref[:] = jnp.zeros_like(d2h_ref)
+        d2l_ref[:] = jnp.zeros_like(d2l_ref)
+
+    _accumulate_distance_block(
+        xh_ref, xl_ref, yh_ref, yl_ref, d2h_ref, d2l_ref, kind, (),
+        f64_acc,
+    )
+
+    @pl.when(b == nb - 1)
+    def _():
+        eh, el = _family_epilogue(
+            d2h_ref[:], d2l_ref[:], kind, gamma_h, gamma_l, (), f64_acc,
+        )
+        tn = eh.shape[1]
+        vt = vjt_ref[:]  # (k, tn)
+        vi = vi_ref[:]  # (tm, k)
+        if f64_acc:
+            # interpret/XLA:CPU path: the fused two-float reduce trees are
+            # NOT safe under the CPU fusion emitter (measured: a composed
+            # jit reassociates the slice-add tree, ~7e-8 error, barriers
+            # ineffective — see RESULTS_r4.md). CPU has native f64: do the
+            # whole evaluation in f64 (distance + epilogue + contraction).
+            f64 = jnp.float64
+            v64 = eh  # f64 epilogue output
+            for c in range(vt.shape[0]):
+                acc_ref[:, c : c + 1] += jnp.sum(
+                    v64 * vt[c : c + 1, :].astype(f64), axis=1,
+                    keepdims=True,
+                )
+                sl = pl.ds(j * tn, tn)
+                o2_ref[c : c + 1, sl] += jnp.sum(
+                    v64 * vi[:, c : c + 1].astype(f64), axis=0,
+                    keepdims=True,
+                )
+        else:
+            for c in range(vt.shape[0]):
+                # forward: K @ V_J into the row accumulator (lane reduce)
+                vrow = vt[c : c + 1, :]
+                ph, pe = two_prod(eh, vrow)
+                pe = pe + el * vrow
+                hi_c, lo_c = _comp_lane_sum(ph, pe)
+                a = acc_ref[:, c : c + 1]
+                s, e = two_sum(a, hi_c)
+                acc_ref[:, c : c + 1] = s
+                lo_ref[:, c : c + 1] = lo_ref[:, c : c + 1] + (e + lo_c)
+                # mirror: Kᵀ @ V_I into the resident (k, C_J) window
+                vcol = vi[:, c : c + 1]
+                mh, me = two_prod(eh, vcol)
+                me = me + el * vcol
+                mhi, mlo = _comp_sublane_sum(mh, me)
+                sl = pl.ds(j * tn, tn)
+                m = o2_ref[c : c + 1, sl]
+                s2, e2 = two_sum(m, mhi)
+                o2_ref[c : c + 1, sl] = s2
+                o2lo_ref[c : c + 1, sl] = (
+                    o2lo_ref[c : c + 1, sl] + (e2 + mlo)
+                )
+
+    @pl.when(jnp.logical_and(j == nj - 1, b == nb - 1))
+    def _():
+        if f64_acc:
+            f64 = jnp.float64
+            hi = acc_ref[:].astype(jnp.float32)
+            o1_ref[:] = hi
+            o1lo_ref[:] = (acc_ref[:] - hi.astype(f64)).astype(jnp.float32)
+        else:
+            o1_ref[:] = acc_ref[:]
+            o1lo_ref[:] = lo_ref[:]
+
+
+def _body_pair64_f32(
+    xh_ref, yh_ref, vjt_ref, vi_ref,
+    o1_ref, o1lo_ref, o2_ref, o2lo_ref,
+    acc_ref, lo_ref, d2h_ref, d2l_ref, **kw,
+):
+    """Exact-f32-input variant of :func:`_body_pair64`."""
+    _body_pair64(
+        xh_ref, None, yh_ref, None, vjt_ref, vi_ref,
+        o1_ref, o1lo_ref, o2_ref, o2lo_ref,
+        acc_ref, lo_ref, d2h_ref, d2l_ref, **kw,
+    )
+
+
+def _value64_symmetric(
+    Xh, Xl, V, gamma_h, gamma_l, kind, tile_m, tile_n, interpret,
+    fb, chunk_rows=None,
+):
+    """Symmetric (one-data-set) value64 driver: pair-chunk schedule.
+
+    The Gram matrix is symmetric, so the n² two-float tile work — ~850
+    VPU ops per pair, the dominant cost of a certified n=1M residual —
+    can be HALVED by visiting each unordered chunk pair once: diagonal
+    chunks run the plain square body, off-diagonal pairs run
+    :func:`_body_pair64` (one K_IJ evaluation, both products). Chunk
+    size targets the same ~2.5e9-pairs-per-call watchdog budget as the
+    rectangular driver; per-chunk outputs are accumulated on the host
+    in f64 (adding each call's compensated (hi, lo) — error ~2⁻⁵³ per
+    add, far below the evaluation's own ~3e-9 value grade).
+    Returns (OH, n_pad) with OH the (n_pad, k) f64 accumulator.
+    """
+    n_p0, d_p = Xh.shape
+    k = V.shape[1]
+    if chunk_rows is None:
+        chunk_rows = int(2.5e9) ** 0.5
+    chunk_rows = max(tile_n, int(chunk_rows) // tile_n * tile_n)
+    # Balanced chunks: pick the chunk COUNT first, then size chunks to
+    # n/nc — naively capping C at the watchdog budget padded n=2^16 by
+    # 1.52x (phantom rows ran real tile work; measured 2x slower than
+    # the rectangular driver instead of ~1.4x faster).
+    nc0 = -(-n_p0 // chunk_rows)
+    C = _round_up(-(-n_p0 // nc0), tile_n)
+    n_pad = _round_up(n_p0, C)
+    Xh = _pad_to(Xh, n_pad, d_p)
+    if Xl is not None:
+        Xl = _pad_to(Xl, n_pad, d_p)
+    Vp = _pad_to(np.asarray(V, np.float32), n_pad, 1)
+    nc = n_pad // C
+
+    nb_feat = d_p // fb
+    ni, njc = C // tile_m, C // tile_n
+    # XLA:CPU (interpret) reassociates fused two-float reduce trees; use
+    # native-f64 contraction there instead (see _body_pair64). Requires
+    # x64; without it the two-float path stands (f32-grade risk on CPU
+    # only — the Mosaic TPU path is measured exact either way).
+    f64_acc = bool(interpret) and jax.config.jax_enable_x64
+    acc_dtype = jnp.float64 if f64_acc else jnp.float32
+    o2_dtype = jnp.float64 if f64_acc else jnp.float32
+
+    def _xlayout(a):
+        if nb_feat == 1:
+            return jnp.asarray(a)
+        return jnp.asarray(
+            np.ascontiguousarray(
+                np.transpose(a.reshape(a.shape[0], nb_feat, fb), (1, 0, 2))
+            )
+        )
+
+    if nb_feat == 1:
+        x_spec = pl.BlockSpec((tile_m, d_p), lambda i, j, b: (i, 0))
+    else:
+        x_spec = pl.BlockSpec((1, tile_m, fb), lambda i, j, b: (b, i, 0))
+    y_spec = pl.BlockSpec((fb, tile_n), lambda i, j, b: (b, j))
+    o_spec = pl.BlockSpec((tile_m, k), lambda i, j, b: (i, 0))
+    vt_spec = pl.BlockSpec((k, tile_n), lambda i, j, b: (0, j))
+    vi_spec = pl.BlockSpec((tile_m, k), lambda i, j, b: (i, 0))
+    o2_spec = pl.BlockSpec((k, C), lambda i, j, b: (0, 0))
+    scratch = [
+        pltpu.VMEM((tile_m, k), acc_dtype),
+        pltpu.VMEM((tile_m, k), jnp.float32),
+        pltpu.VMEM((tile_m, tile_n), acc_dtype),
+        pltpu.VMEM((tile_m, tile_n), jnp.float32),
+    ]
+    two_float_in = Xl is not None
+    kw = dict(nj=njc, nb=nb_feat, gamma_h=gamma_h, gamma_l=gamma_l,
+              kind=kind, f64_acc=f64_acc)
+    diag_body = functools.partial(
+        _body if two_float_in else _body_f32, debug_skip=(), **kw
+    )
+    pair_body = functools.partial(
+        _body_pair64 if two_float_in else _body_pair64_f32, **kw
+    )
+    diag_specs = (
+        [x_spec, x_spec, y_spec, y_spec, vt_spec]
+        if two_float_in
+        else [x_spec, y_spec, vt_spec]
+    )
+    pair_specs = (
+        [x_spec, x_spec, y_spec, y_spec, vt_spec, vi_spec]
+        if two_float_in
+        else [x_spec, y_spec, vt_spec, vi_spec]
+    )
+    diag_call = pl.pallas_call(
+        diag_body,
+        grid=(ni, njc, nb_feat),
+        in_specs=diag_specs,
+        out_specs=[o_spec, o_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((C, k), jnp.float32),
+            jax.ShapeDtypeStruct((C, k), jnp.float32),
+        ],
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )
+    pair_call = pl.pallas_call(
+        pair_body,
+        grid=(ni, njc, nb_feat),
+        in_specs=pair_specs,
+        out_specs=[o_spec, o_spec, o2_spec, o2_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((C, k), jnp.float32),
+            jax.ShapeDtypeStruct((C, k), jnp.float32),
+            jax.ShapeDtypeStruct((k, C), o2_dtype),
+            jax.ShapeDtypeStruct((k, C), o2_dtype),
+        ],
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            # the o2 mirror window accumulates across i: no parallel dims
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )
+
+    xs = [
+        _xlayout(Xh[a * C : (a + 1) * C]) for a in range(nc)
+    ]
+    xls = (
+        [_xlayout(Xl[a * C : (a + 1) * C]) for a in range(nc)]
+        if two_float_in
+        else None
+    )
+    yts = [jnp.asarray(Xh[a * C : (a + 1) * C].T.copy()) for a in range(nc)]
+    ylts = (
+        [jnp.asarray(Xl[a * C : (a + 1) * C].T.copy()) for a in range(nc)]
+        if two_float_in
+        else None
+    )
+    vts = [
+        jnp.asarray(Vp[a * C : (a + 1) * C].T.copy()) for a in range(nc)
+    ]
+    vis = [jnp.asarray(Vp[a * C : (a + 1) * C]) for a in range(nc)]
+
+    OH = np.zeros((n_pad, k), np.float64)
+    for a in range(nc):
+        if two_float_in:
+            h, l = diag_call(xs[a], xls[a], yts[a], ylts[a], vts[a])
+        else:
+            h, l = diag_call(xs[a], yts[a], vts[a])
+        OH[a * C : (a + 1) * C] += np.asarray(h, np.float64) + np.asarray(
+            l, np.float64
+        )
+        for b2 in range(a + 1, nc):
+            if two_float_in:
+                o1h, o1l, o2h, o2l = pair_call(
+                    xs[a], xls[a], yts[b2], ylts[b2], vts[b2], vis[a]
+                )
+            else:
+                o1h, o1l, o2h, o2l = pair_call(
+                    xs[a], yts[b2], vts[b2], vis[a]
+                )
+            OH[a * C : (a + 1) * C] += (
+                np.asarray(o1h, np.float64) + np.asarray(o1l, np.float64)
+            )
+            OH[b2 * C : (b2 + 1) * C] += (
+                np.asarray(o2h, np.float64) + np.asarray(o2l, np.float64)
+            ).T
+    return OH
 
 
 def _round_up(x: int, m: int) -> int:
@@ -237,11 +633,12 @@ def kernel_matmat_value64(
     V,
     lengthscale,
     const_scaling: float = 1.0,
-    tile_m: int = 8,
+    tile_m: int = 64,
     tile_n: int = 512,
     chunk_rows=None,
     interpret=None,
     kind: str = "rbf",
+    symmetric=None,
     _debug_skip=(),
 ):
     """``c·k(X1, X2) @ V`` with ~3e-9-accurate kernel values, any family.
@@ -254,6 +651,11 @@ def kernel_matmat_value64(
     Eager (not jit-traceable): inputs are pulled to the host once for the
     exact f64 lengthscale pre-scaling; the compute runs as one Pallas call.
     Returns ``(hi, lo)`` f32 arrays — add ``lo`` last in consumers.
+
+    ``symmetric`` (None = auto-detect ``X1 is X2``): one-data-set Gram
+    products take the pair-chunk schedule (:func:`_value64_symmetric`) —
+    each unordered chunk pair is evaluated once and serves both
+    triangles, halving the dominant two-float tile work.
 
     Intended use: residual (re-)evaluation in mixed-precision refinement
     (`LinSys.solve(f64_refine_rounds=..., f64_refine_device="accel")`), not
@@ -324,6 +726,23 @@ def kernel_matmat_value64(
     Vp = _pad_to(V, tile_n, 1)
 
     fb = _feature_block(d)
+    if symmetric is None:
+        symmetric = X1 is X2
+    if symmetric and not _debug_skip and n == m:
+        Xh_s = _pad_to(Xh, 1, fb)
+        Xl_s = None if Xl is None else _pad_to(Xl, 1, fb)
+        OH = _value64_symmetric(
+            Xh_s, Xl_s, V, gamma_h, gamma_l, kind, tile_m, tile_n,
+            interpret, fb=fb, chunk_rows=chunk_rows,
+        )
+        # const scaling exactly in f64, then split back to the (hi, lo)
+        # contract (error ~2^-53, below the evaluation's own grade)
+        OH = OH[:n, :k] * float(const_scaling)
+        hi32 = OH.astype(np.float32)
+        lo32 = (OH - hi32).astype(np.float32)
+        hi, lo = jnp.asarray(hi32), jnp.asarray(lo32)
+        return (hi[:, 0], lo[:, 0]) if squeeze else (hi, lo)
+
     # Row-chunk the sweep: the runtime kills single device executions
     # longer than ~80 s, so cap each Pallas call at ~2.5e9 kernel pairs.
     # All per-call X chunks share one shape (one compile); the Y-side
@@ -366,15 +785,18 @@ def kernel_matmat_value64(
     o_spec = pl.BlockSpec((tile_m, k_p), lambda i, j, b: (i, 0))
     v_spec = pl.BlockSpec((k_p, tile_n), lambda i, j, b: (0, j))
 
+    f64_acc = (
+        bool(interpret) and jax.config.jax_enable_x64 and not _debug_skip
+    )
     if Xl is None:
         body = functools.partial(
             _body_f32, nj=nj, nb=nb, gamma_h=gamma_h, gamma_l=gamma_l,
-            kind=kind, debug_skip=_debug_skip,
+            kind=kind, debug_skip=_debug_skip, f64_acc=f64_acc,
         )
     else:
         body = functools.partial(
             _body, nj=nj, nb=nb, gamma_h=gamma_h, gamma_l=gamma_l,
-            kind=kind, debug_skip=_debug_skip,
+            kind=kind, debug_skip=_debug_skip, f64_acc=f64_acc,
         )
 
     def _chunk_inputs(s0):
@@ -399,9 +821,15 @@ def kernel_matmat_value64(
             jax.ShapeDtypeStruct((chunk_rows, k_p), jnp.float32),
         ],
         scratch_shapes=[
+            pltpu.VMEM(
+                (tile_m, k_p),
+                jnp.float64 if f64_acc else jnp.float32,
+            ),
             pltpu.VMEM((tile_m, k_p), jnp.float32),
-            pltpu.VMEM((tile_m, k_p), jnp.float32),
-            pltpu.VMEM((tile_m, tile_n), jnp.float32),
+            pltpu.VMEM(
+                (tile_m, tile_n),
+                jnp.float64 if f64_acc else jnp.float32,
+            ),
             pltpu.VMEM((tile_m, tile_n), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -426,9 +854,15 @@ def kernel_matmat_value64(
     lo = jnp.asarray(np.concatenate(los, axis=0)[:n, :k])
     c = float(const_scaling)
     if c != 1.0:
-        # two-float scale: keep the hi-part rounding error in lo
-        ch, ce = two_prod(hi, jnp.float32(c))
-        hi, lo = ch, lo * jnp.float32(c) + ce
+        # scale in f64 on the host (eager path — hi/lo are materialized
+        # anyway): the previous two-float scale used f32(c), whose
+        # REPRESENTATION error (~2^-25·c, e.g. 2.4e-8 for c=0.83) leaked
+        # straight into the values — above the evaluation's own ~3e-9
+        # grade
+        t = (np.asarray(hi, np.float64) + np.asarray(lo, np.float64)) * c
+        hi32 = t.astype(np.float32)
+        hi = jnp.asarray(hi32)
+        lo = jnp.asarray((t - hi32).astype(np.float64).astype(np.float32))
     if squeeze:
         hi, lo = hi[:, 0], lo[:, 0]
     return hi, lo
