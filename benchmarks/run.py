@@ -133,9 +133,12 @@ def _f64_residual(X, y, W, reg, lengthscale, row_block=512):
             sq[s:e, None] + sq[None, :] - 2.0 * (X64[s:e] @ X64.T)
         )
         np.maximum(d2, 0.0, out=d2)
-        # exp in f32 keeps this check ~10x faster; its ~6e-8 value error
-        # bounds the verification floor at ~1e-7 — far below the 1e-6 bar.
-        r[s:e] = np.exp(-0.5 * d2, dtype=np.float32).astype(np.float64) @ W64
+        # exp in f64: an earlier f32-exp shortcut ("floor ~1e-7") was
+        # measured flooring at 6.9e-6 on the config-8 problem — its
+        # ~6e-8 value error rides the kernel row sums, which are
+        # problem-dependent. The verifier must out-resolve the claim.
+        np.exp(-0.5 * d2, out=d2)
+        r[s:e] = d2 @ W64
     return y64 - (r + reg * W64)
 
 
@@ -579,9 +582,19 @@ def config8_accelerated_sap_certified():
         )
         kwargs = {}
         if refine:
+            # "evaluate", 2 rounds — NOT "update": this problem's small
+            # reg (1e-5·n vs the north star's 1e-4·n) makes the
+            # correction δ ~100× larger relative to the residual, and the
+            # update term's f32 kernel-value error (1e-7 × the RBF row
+            # sums ~n·e⁻¹ × |δ|) lands at ~6e-6‖b‖ — measured: the
+            # update-mode capture claimed 1.12e-6 while the host read
+            # 7.0e-6 true. Exactly the documented update-mode caveat;
+            # with the symmetric value64 engine a full re-evaluation at
+            # n=1e5 is ~5 s, so "evaluate" costs almost nothing here.
+            # Two rounds because the SAP correction solve stalls at
+            # ~5e-3 of its RHS per round (300 block-coordinate iters).
             kwargs = dict(
-                f64_refine_rounds=1, f64_refine_device="accel",
-                f64_refine_residual="update",
+                f64_refine_rounds=2, f64_refine_device="accel",
             )
         t0 = time.perf_counter()
         W, log = sys_.solve(

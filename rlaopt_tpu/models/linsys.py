@@ -354,10 +354,16 @@ class LinSys(Model):
         The update carries the initial evaluation's error forward, so the
         reported residual is the EVALUATED system's — honest only while
         the correction target stays well above the value64 evaluation
-        error (~1e-9·amplification). Use for targets ≥ ~100× that floor
-        (e.g. certifying 1e-6 at n=1M, where the independent sampled-f64
-        verification confirms the claim to ~2%); keep the default when
-        driving residuals toward the evaluation floor itself.
+        error (~1e-9·amplification) AND the update term's own error,
+        ``~1e-7 · Σ|K||δ|`` (f32 kernel values amplified by the row
+        sums), stays below target. The latter scales with ‖δ‖ ≈
+        ‖R‖/(λ_min+reg): at the n=1M north star (reg=1e-4·n) the claim
+        agreed with the independent verification to ~2%, but on a
+        small-reg problem (1e-5·n, n=1e5) the measured gap was 6e-6 —
+        claim 1.12e-6 vs host truth 7.0e-6 (benchmarks/RESULTS_r4.md,
+        config 8). Use "evaluate" whenever reg is small relative to the
+        kernel row sums, or when driving residuals toward the
+        evaluation floor itself.
 
         ``preconditioner`` optionally supplies an already-built
         preconditioner for this operator/reg; the solver skips its own
