@@ -135,7 +135,17 @@ class LinSys(Model):
         # best available prediction of the true residual), and the next
         # confirm fires only when that prediction itself clears the
         # tolerance. gap starts at 1.0 (first claim always confirmed).
+        # ``_confirm_backoff`` (round 4) escalates when confirms FAIL with
+        # a STALLED true residual (the f32-operator floor): the gap alone
+        # re-fires a confirm every time the estimator contracts by
+        # ~(tol/floor) — at the n=1M north star that was every 3-4
+        # iterations, ~10 compensated full sweeps ≈ 250 s of pure confirm
+        # cost in a 60-iteration solve. Each stalled failure doubles the
+        # extra contraction required before the next attempt; any confirm
+        # showing real progress resets it. Termination still always rests
+        # on a confirmed true residual — backoff only spaces the attempts.
         est_abs = None
+        backoff = getattr(self, "_confirm_backoff", 1.0)
         if not force_true and getattr(self, "_metrics_recurrence", False):
             R = self._metrics_solver.residual()
             gap = getattr(self, "_confirm_gap", 1.0)
@@ -143,7 +153,9 @@ class LinSys(Model):
             b_norms = jnp.linalg.norm(self._B, axis=0)
             atol, rtol = self._term_tol
             if not bool(
-                jnp.all(abs_res <= jnp.maximum(rtol * b_norms, atol))
+                jnp.all(
+                    abs_res * backoff <= jnp.maximum(rtol * b_norms, atol)
+                )
             ):
                 return {
                     "abs_res": abs_res,
@@ -184,7 +196,10 @@ class LinSys(Model):
             b_norms = jnp.linalg.norm(self._B, axis=0)
             atol, rtol = self._term_tol
             if not bool(
-                jnp.all(abs_est * 0.7 <= jnp.maximum(rtol * b_norms, atol))
+                jnp.all(
+                    abs_est * 0.7 * backoff
+                    <= jnp.maximum(rtol * b_norms, atol)
+                )
             ):
                 return {
                     "abs_res": abs_est,
@@ -206,6 +221,32 @@ class LinSys(Model):
                 * float(jnp.max(ratio)),
                 1.0,
             )
+            atol, rtol = self._term_tol
+            tol = jnp.maximum(
+                rtol * jnp.linalg.norm(self._B, axis=0), atol
+            )
+            failed = not bool(jnp.all(m["abs_res"] <= tol))
+            cur = float(jnp.max(m["abs_res"]))
+            prev = getattr(self, "_last_confirm_true", None)
+            if failed and prev is not None and cur > 0.77 * prev:
+                # stalled at the operator floor: double the required
+                # extra contraction before the next confirm attempt, and
+                # after TWO consecutive stalled confirms declare the
+                # solve floored — it terminates early with the last TRUE
+                # residual (an honest stall certificate; the reference
+                # burns the remaining iterations against the same floor)
+                self._confirm_backoff = min(backoff * 2.0, 64.0)
+                self._stall_confirms = (
+                    getattr(self, "_stall_confirms", 0) + 1
+                )
+                if self._stall_confirms >= 2:
+                    self._stalled = True
+                    m = dict(m)
+                    m["stalled"] = True
+            else:
+                self._confirm_backoff = 1.0
+                self._stall_confirms = 0
+            self._last_confirm_true = cur
         return m
 
     def _true_internal_metrics(self, W: jax.Array):
@@ -282,6 +323,18 @@ class LinSys(Model):
         if internal_metrics.get("source") in ("recurrence", "sampled"):
             freeze_tol = 0.5 * comp_tol
         self._mask = abs_res > freeze_tol
+        # A confirmed stall terminates honestly: the metrics carry the
+        # last TRUE residual, which certifies the operator floor — not
+        # convergence (see _compute_internal_metrics).
+        if internal_metrics.get("stalled"):
+            return True
+        # Termination must rest on a TRUE residual: estimator-sourced
+        # metrics never decide it. (Before the round-4 confirm backoff
+        # this held implicitly — an estimate at tolerance always fell
+        # through to the full confirmation; with backoff the estimate
+        # can reach the check directly.)
+        if internal_metrics.get("source") in ("recurrence", "sampled"):
+            return False
         return bool(jnp.all(abs_res <= comp_tol))
 
     def solve(
@@ -320,6 +373,12 @@ class LinSys(Model):
         ``rel_stderr_est`` recorded in the metrics) — the right choice for
         solvers that carry no residual (SAP) at scales where even one full
         residual sweep is expensive; confirmation semantics as above.
+        Round 4: failed confirmations with a STALLED true residual back
+        off exponentially, and after two consecutive stalled confirms the
+        solve terminates early at the certified operator floor — the
+        final log entry carries the true residual plus ``stalled: True``
+        (never a convergence claim). Termination is only ever decided on
+        true (source-free) metrics.
 
         ``key`` seeds randomized components (preconditioner sketches, SAP
         block sampling); None draws from the package-global chain.
@@ -446,6 +505,10 @@ class LinSys(Model):
         self._metrics_sampled = metrics == "sampled"
         self._sample_round = 0
         self._confirm_gap = 1.0
+        self._confirm_backoff = 1.0
+        self._last_confirm_true = None
+        self._stall_confirms = 0
+        self._stalled = False
 
         checkpointer = None
         if checkpoint_dir is not None:

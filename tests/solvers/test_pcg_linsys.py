@@ -314,8 +314,13 @@ class TestRecurrenceMetrics:
     def test_recurrence_converges_and_final_is_confirmed(self, key):
         A, B = make_spd_system(key, 128, 2, jnp.float32)
         reg = 1e-4
+        # rtol REACHABLE by this f32 problem (it floors ~4e-5): with an
+        # unreachable target the round-4 stall detection legitimately
+        # stops the recurrence run early at the certified floor, and the
+        # two runs' iterates then differ by construction (see
+        # test_stall_terminates_early_with_true_residual).
         cfg = PCGConfig(
-            max_iters=80, rtol=1e-5,
+            max_iters=80, rtol=2e-4,
             precond_config=NystromConfig(rank=48, rho=reg),
         )
         W0 = jnp.zeros_like(B)
@@ -698,3 +703,91 @@ class TestF64Refinement:
             np.asarray(B, np.float64), axis=0
         )
         assert rel.max() < 1e-7
+
+
+class TestConfirmBackoff:
+    def test_stalled_confirms_back_off_exponentially(self, key):
+        """Round 4: when the recurrence estimator keeps contracting below
+        rtol but the TRUE residual stalls at the f32-operator floor, the
+        confirm sweeps must back off exponentially — at n=1M each one is
+        a ~25 s compensated full sweep and the gap logic alone re-fired
+        one every 3-4 iterations (~250 s of a 60-iteration solve)."""
+        import numpy as np
+
+        from rlaopt_tpu.models import LinSys
+        from rlaopt_tpu.preconditioners import NystromConfig
+        from rlaopt_tpu.solvers import PCGConfig
+
+        n = 512
+        kq, kb = jax.random.split(key)
+        G = jax.random.normal(kq, (n, n), dtype=jnp.float32)
+        A = (G @ G.T) / n + jnp.eye(n, dtype=jnp.float32)
+        B = jax.random.normal(kb, (n, 1), dtype=jnp.float32)
+        sys_ = LinSys(A, B, reg=1e-3)
+        confirms = []
+        orig = sys_._true_internal_metrics
+
+        def counting(W):
+            confirms.append(1)
+            return orig(W)
+
+        sys_._true_internal_metrics = counting
+        # rtol below the f32 true-residual floor but reachable by the
+        # recurrence estimate: every boundary would confirm without backoff
+        cfg = PCGConfig(
+            max_iters=120, rtol=1e-9,
+            precond_config=NystromConfig(rank=128, rho=1e-3),
+        )
+        sys_.solve(
+            cfg, jnp.zeros_like(B), callback_freq=2, key=key,
+            metrics="recurrence",
+        )
+        n_boundaries = 60
+        # without backoff: confirms at nearly every boundary once the
+        # estimate dips under rtol; with exponential backoff the count is
+        # logarithmic-ish. Allow slack for the pre-floor phase.
+        assert 1 <= len(confirms) <= 14, len(confirms)
+
+    def test_stall_terminates_early_with_true_residual(self, key):
+        """Two consecutive stalled confirms certify the operator floor
+        and stop the solve early — with TRUE (source-free) final metrics
+        and the ``stalled`` marker, never a false convergence claim."""
+        from rlaopt_tpu.models import LinSys
+        from rlaopt_tpu.preconditioners import NystromConfig
+        from rlaopt_tpu.solvers import PCGConfig
+
+        A, B = make_spd_system(key, 128, 2, jnp.float32)
+        reg = 1e-4
+        # unreachable target: this f32 problem floors at ~4e-5
+        cfg = PCGConfig(
+            max_iters=80, rtol=1e-7,
+            precond_config=NystromConfig(rank=48, rho=reg),
+        )
+        sys_ = LinSys(A, B, reg=reg)
+        W, log = sys_.solve(
+            cfg, jnp.zeros_like(B), callback_freq=10, key=key,
+            metrics="recurrence",
+        )
+        last = max(i for i in log if isinstance(i, int))
+        fin = log[last]["metrics"]["internal_metrics"]
+        assert last < 80  # stopped before max_iters
+        assert fin.get("stalled") is True
+        assert "source" not in fin or fin.get("source") is None
+        # the reported residual is the true floor, not the optimistic
+        # recurrence estimate (which kept contracting)
+        import numpy as np
+
+        A64 = np.asarray(A, np.float64)
+        W64 = np.asarray(W, np.float64)
+        R = np.asarray(B, np.float64) - (A64 @ W64 + reg * W64)
+        true_rel = np.linalg.norm(R, axis=0) / np.linalg.norm(
+            np.asarray(B, np.float64), axis=0
+        )
+        rep = np.asarray(fin["rel_res"], np.float64)
+        # grade-level agreement: the confirm evaluates in f32, whose own
+        # error at this conditioning is the same order as the floor —
+        # the reported value must be AT the floor (within ~2x of f64
+        # truth), not the recurrence estimate that contracted far below
+        assert np.all((rep > 0.4 * true_rel) & (rep < 2.5 * true_rel)), (
+            rep, true_rel,
+        )
