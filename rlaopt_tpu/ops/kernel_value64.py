@@ -467,7 +467,11 @@ def _value64_symmetric(
     n_p0, d_p = Xh.shape
     k = V.shape[1]
     if chunk_rows is None:
-        chunk_rows = int(2.5e9) ** 0.5
+        # per-call pair budget: sized to ~3-5 s of device time at the
+        # measured ~3.5 Gpairs/s (the 2.5e9 budget dated from the
+        # 0.76 Gpairs/s engine; at n=1M it cost 231 dispatch round-trips
+        # through the ~20-40 ms tunnel)
+        chunk_rows = int(1.2e10) ** 0.5
     chunk_rows = max(tile_n, int(chunk_rows) // tile_n * tile_n)
     # Balanced chunks: pick the chunk COUNT first, then size chunks to
     # n/nc — naively capping C at the watchdog budget padded n=2^16 by
@@ -749,7 +753,9 @@ def kernel_matmat_value64(
     # preparation happens ONCE here — per-chunk Y re-prep at n=1M leaked
     # ~130 GB of host memory through 489 iterations before this refactor.
     if chunk_rows is None:
-        chunk_rows = max(tile_m, int(2.5e9) // max(m, 1))
+        # ~4 s of device time at the measured ~2.5 Gpairs/s (see the
+        # symmetric driver's budget note)
+        chunk_rows = max(tile_m, int(1.0e10) // max(m, 1))
     chunk_rows = min(_round_up(chunk_rows, tile_m), _round_up(n, tile_m))
     Xh = _pad_to(Xh, chunk_rows, fb)
     Yh = _pad_to(Yh, tile_n, fb)
