@@ -502,6 +502,27 @@ def med(xs):
 _RESULT = {}
 _EMITTED = False
 
+# The driver records only the LAST ~2000 characters of stdout. BENCH_r04 had
+# rc=0 but parsed=null because the single full-detail JSON line (~4000 chars)
+# overflowed that window and its head was clipped (VERDICT r4 item 1; the
+# same gate failed r3 by timeout). The full detail therefore goes to a file
+# (and to stdout FIRST, for humans), and the FINAL stdout line is a compact
+# headline JSON guaranteed well under the tail window.
+_FULL_JSON_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "benchmarks", "BENCH_last_full.json"
+)
+
+_COMPACT_KEYS = (
+    "metric",
+    "value",
+    "unit",
+    "vs_baseline",
+    "vs_baseline_strict",
+    "compute",
+    "peak_bf16_tflops",
+    "bench_wall_s",
+)
+
 
 def _emit():
     global _EMITTED
@@ -509,7 +530,29 @@ def _emit():
         return
     _EMITTED = True
     _RESULT["bench_wall_s"] = round(time.monotonic() - T0, 1)
-    print(json.dumps(_RESULT), flush=True)
+    full = json.dumps(_RESULT)
+    try:
+        with open(_FULL_JSON_PATH, "w") as fh:
+            fh.write(full + "\n")
+        _RESULT["full_json"] = os.path.relpath(_FULL_JSON_PATH)
+    except OSError:
+        pass
+    # Full detail first (may be clipped by the driver's tail window — that
+    # is fine, the file has it)...
+    print(full, flush=True)
+    compact = {k: _RESULT[k] for k in _COMPACT_KEYS if k in _RESULT}
+    hs = _RESULT.get("shapes", {}).get(f"d{D_HEADLINE}", {})
+    for tier in PASSES:
+        if tier in hs:
+            compact[f"rf_{tier}_d{D_HEADLINE}"] = hs[tier]["roofline_fraction"]
+    if "full_json" in _RESULT:
+        compact["full_json"] = _RESULT["full_json"]
+    if "skipped_budget" in _RESULT:
+        compact["skipped_budget"] = _RESULT["skipped_budget"]
+    line = json.dumps(compact)
+    assert len(line) < 1500, len(line)
+    # ...then the compact headline as the guaranteed-last line.
+    print(line, flush=True)
 
 
 def _remaining():

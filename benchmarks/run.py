@@ -65,7 +65,7 @@ def config1_nystrom_pcg_cpu():
         W, log = sys_.solve(cfg, jnp.zeros_like(B), callback_freq=10, key=key)
         _sync(W)
         wall = time.perf_counter() - t0
-        it = max(log.keys())
+        it = max(i for i in log.keys() if isinstance(i, int))
         rel = float(jnp.max(log[it]["metrics"]["internal_metrics"]["rel_res"]))
     _result("nystrom_pcg_4096_fp64_cpu", wall, {"iters": it, "rel_res": rel})
 
@@ -93,7 +93,7 @@ def config2_srht_lsqr():
     )
     _sync(W)
     wall = time.perf_counter() - t0
-    it = max(log.keys())
+    it = max(i for i in log.keys() if isinstance(i, int))
     rel = float(jnp.max(log[it]["metrics"]["internal_metrics"]["rel_res"]))
     _result("srht_lsqr_100k_x_1k", wall, {"iters": it, "nrm_eq_rel_res": rel})
 
@@ -437,7 +437,7 @@ def config5_sharded_krr():
     )
     _sync(W)
     wall = time.perf_counter() - t0
-    it = max(log.keys())
+    it = max(i for i in log.keys() if isinstance(i, int))
     rel = float(jnp.max(log[it]["metrics"]["internal_metrics"]["rel_res"]))
     _result(
         "sharded_krr_50k",

@@ -81,7 +81,7 @@ def main():
         callback_freq=10,
         key=key,
     )
-    it = max(log.keys())
+    it = max(i for i in log.keys() if isinstance(i, int))
     rel = float(jnp.max(log[it]["metrics"]["internal_metrics"]["rel_res"]))
     if jax.process_index() == 0:
         print(f"iters={it} rel_res={rel:.2e}")

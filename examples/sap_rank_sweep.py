@@ -51,7 +51,7 @@ def main(m=35_000, n=1_000, blk_sz=100):
             callback_freq=100,
             key=key,
         )
-        it = max(log.keys())
+        it = max(i for i in log.keys() if isinstance(i, int))
         rel = float(jnp.max(log[it]["metrics"]["internal_metrics"]["rel_res"]))
         print(f"rank {rank:4d}: iters={it} rel_res={rel:.3e}")
 

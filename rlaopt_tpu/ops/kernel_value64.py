@@ -53,7 +53,24 @@ from .twofloat import (
 )
 
 
-__all__ = ["kernel_matmat_value64"]
+__all__ = ["kernel_matmat_value64", "VALUE64_MAX_D"]
+
+# Feature-dim cap. The engine is feature-blocked (nb = ceil(d/fb) slabs of
+# 32-64 lanes accumulate into the persistent two-float distance scratch), so
+# nothing binds at the reference's d=100 (distributed PCG-KRR,
+# /root/reference/experiments/distributed_krr_linsys_solve_test.py:20-48) —
+# the round-4 d<=64 gate predated multi-slab support. 512 bounds the
+# per-call X-chunk staging and keeps the two-float accumulation error
+# (~nb·2^-48 relative) far below the ~3e-9 value grade; d=100/128 are
+# host-f64-parity-tested (tests/ops/test_value64.py).
+VALUE64_MAX_D = 512
+
+
+def _commit(a, dev):
+    """Stage an array on an explicit device (None = default placement)."""
+    if dev is None:
+        return jnp.asarray(a)
+    return jax.device_put(a, dev)
 
 # 1/3 as a two-float (the Matérn-5/2 polynomial's 5D²/3 term = t²/3 with
 # t = √5·D, and t² = gamma·dist² is available pre-sqrt).
@@ -449,7 +466,7 @@ def _body_pair64_f32(
 
 def _value64_symmetric(
     Xh, Xl, V, gamma_h, gamma_l, kind, tile_m, tile_n, interpret,
-    fb, chunk_rows=None,
+    fb, chunk_rows=None, devices=None,
 ):
     """Symmetric (one-data-set) value64 driver: pair-chunk schedule.
 
@@ -498,11 +515,9 @@ def _value64_symmetric(
 
     def _xlayout(a):
         if nb_feat == 1:
-            return jnp.asarray(a)
-        return jnp.asarray(
-            np.ascontiguousarray(
-                np.transpose(a.reshape(a.shape[0], nb_feat, fb), (1, 0, 2))
-            )
+            return a
+        return np.ascontiguousarray(
+            np.transpose(a.reshape(a.shape[0], nb_feat, fb), (1, 0, 2))
         )
 
     if nb_feat == 1:
@@ -573,43 +588,78 @@ def _value64_symmetric(
         interpret=interpret,
     )
 
-    xs = [
-        _xlayout(Xh[a * C : (a + 1) * C]) for a in range(nc)
-    ]
+    # Host-side numpy chunks; device staging happens lazily per (chunk,
+    # device) through _at so a multi-device round-robin replicates only the
+    # chunks each device actually touches.
+    xs = [_xlayout(Xh[a * C : (a + 1) * C]) for a in range(nc)]
     xls = (
         [_xlayout(Xl[a * C : (a + 1) * C]) for a in range(nc)]
         if two_float_in
         else None
     )
-    yts = [jnp.asarray(Xh[a * C : (a + 1) * C].T.copy()) for a in range(nc)]
+    yts = [Xh[a * C : (a + 1) * C].T.copy() for a in range(nc)]
     ylts = (
-        [jnp.asarray(Xl[a * C : (a + 1) * C].T.copy()) for a in range(nc)]
+        [Xl[a * C : (a + 1) * C].T.copy() for a in range(nc)]
         if two_float_in
         else None
     )
-    vts = [
-        jnp.asarray(Vp[a * C : (a + 1) * C].T.copy()) for a in range(nc)
-    ]
-    vis = [jnp.asarray(Vp[a * C : (a + 1) * C]) for a in range(nc)]
+    vts = [Vp[a * C : (a + 1) * C].T.copy() for a in range(nc)]
+    vis = [np.ascontiguousarray(Vp[a * C : (a + 1) * C]) for a in range(nc)]
 
-    OH = np.zeros((n_pad, k), np.float64)
+    devs = list(devices) if devices else [None]
+    nP = len(devs)
+    _staged = {}
+
+    def _at(tag, arrs, idx, dev_i):
+        key = (tag, idx, dev_i)
+        if key not in _staged:
+            _staged[key] = _commit(arrs[idx], devs[dev_i])
+        return _staged[key]
+
+    # Issue every chunk-pair task (round-robin over the devices) before
+    # fetching any output — see the rectangular driver's dispatch note.
+    pending = []
+    t = 0
     for a in range(nc):
+        di = t % nP
+        t += 1
         if two_float_in:
-            h, l = diag_call(xs[a], xls[a], yts[a], ylts[a], vts[a])
+            h, l = diag_call(
+                _at("x", xs, a, di), _at("xl", xls, a, di),
+                _at("yt", yts, a, di), _at("ylt", ylts, a, di),
+                _at("vt", vts, a, di),
+            )
         else:
-            h, l = diag_call(xs[a], yts[a], vts[a])
-        OH[a * C : (a + 1) * C] += np.asarray(h, np.float64) + np.asarray(
-            l, np.float64
-        )
+            h, l = diag_call(
+                _at("x", xs, a, di), _at("yt", yts, a, di),
+                _at("vt", vts, a, di),
+            )
+        pending.append((a, None, (h, l)))
         for b2 in range(a + 1, nc):
+            di = t % nP
+            t += 1
             if two_float_in:
-                o1h, o1l, o2h, o2l = pair_call(
-                    xs[a], xls[a], yts[b2], ylts[b2], vts[b2], vis[a]
+                out = pair_call(
+                    _at("x", xs, a, di), _at("xl", xls, a, di),
+                    _at("yt", yts, b2, di), _at("ylt", ylts, b2, di),
+                    _at("vt", vts, b2, di), _at("vi", vis, a, di),
                 )
             else:
-                o1h, o1l, o2h, o2l = pair_call(
-                    xs[a], yts[b2], vts[b2], vis[a]
+                out = pair_call(
+                    _at("x", xs, a, di), _at("yt", yts, b2, di),
+                    _at("vt", vts, b2, di), _at("vi", vis, a, di),
                 )
+            pending.append((a, b2, out))
+
+    OH = np.zeros((n_pad, k), np.float64)
+    for a, b2, out in pending:
+        if b2 is None:
+            h, l = out
+            OH[a * C : (a + 1) * C] += np.asarray(
+                h, np.float64
+            ) + np.asarray(l, np.float64)
+        else:
+            o1h, o1l, o2h, o2l = out
             OH[a * C : (a + 1) * C] += (
                 np.asarray(o1h, np.float64) + np.asarray(o1l, np.float64)
             )
@@ -643,6 +693,7 @@ def kernel_matmat_value64(
     interpret=None,
     kind: str = "rbf",
     symmetric=None,
+    devices=None,
     _debug_skip=(),
 ):
     """``c·k(X1, X2) @ V`` with ~3e-9-accurate kernel values, any family.
@@ -659,7 +710,18 @@ def kernel_matmat_value64(
     ``symmetric`` (None = auto-detect ``X1 is X2``): one-data-set Gram
     products take the pair-chunk schedule (:func:`_value64_symmetric`) —
     each unordered chunk pair is evaluated once and serves both
-    triangles, halving the dominant two-float tile work.
+    triangles, halving the dominant two-float tile work. An EXPLICIT
+    ``symmetric=True`` with distinct buffers is validated on sampled rows
+    (the pair-chunk driver reads X1 only — a wrong claim would silently
+    return the Gram product of X1 alone).
+
+    ``devices`` (optional list of jax devices — e.g. one mesh axis of a
+    :class:`~rlaopt_tpu.kernels.sharded.ShardedKernelLinOp`): the
+    host-orchestrated row chunks (and symmetric chunk-pair tasks) are
+    issued round-robin across the devices, with the shared Y-side staged
+    once per device, and all outputs fetched after the full dispatch —
+    on a multi-chip mesh the certified sweep runs on every chip
+    concurrently. None keeps the single-default-device behavior.
 
     Intended use: residual (re-)evaluation in mixed-precision refinement
     (`LinSys.solve(f64_refine_rounds=..., f64_refine_device="accel")`), not
@@ -680,10 +742,10 @@ def kernel_matmat_value64(
     n, d = X1.shape
     m = X2.shape[0]
     k = V.shape[1]
-    if d > 64:
+    if d > VALUE64_MAX_D:
         raise ValueError(
-            f"value64 kernel supports d <= 64 (got d={d}); use the host f64 "
-            "path for wider feature dims"
+            f"value64 kernel supports d <= {VALUE64_MAX_D} (got d={d}); "
+            "use the host f64 path for wider feature dims"
         )
 
     # Per-family gamma folding the scalar lengthscale into the epilogue
@@ -723,6 +785,11 @@ def kernel_matmat_value64(
 
     if tile_n & (tile_n - 1):
         raise ValueError(f"tile_n must be a power of two, got {tile_n}")
+    if tile_m & (tile_m - 1):
+        # the symmetric pair body's mirror contraction halves the sublane
+        # axis (_comp_sublane_sum); an odd intermediate width fails
+        # mid-trace with a shape mismatch
+        raise ValueError(f"tile_m must be a power of two, got {tile_m}")
     # no k padding: the compensated contraction loops real RHS columns, and
     # Mosaic accepts blocks spanning the whole (unpadded) k axis — padding
     # k=1 to 8 was measured to waste 8x of the contraction time
@@ -732,12 +799,31 @@ def kernel_matmat_value64(
     fb = _feature_block(d)
     if symmetric is None:
         symmetric = X1 is X2
+    elif symmetric and X1 is not X2:
+        # ADVICE r4: an explicit symmetric=True with distinct same-shaped
+        # buffers would silently compute the Gram product of X1 alone.
+        # Cheap sampled-row validation of the claim (full equality at
+        # n=1M·d=100 is ~100 ms of host compare; 16 rows suffice to catch
+        # any real mistake).
+        X1h = np.asarray(X1)
+        X2h = np.asarray(X2)
+        if X1h.shape != X2h.shape:
+            raise ValueError(
+                "symmetric=True requires X1 and X2 to be the same data "
+                f"set; got shapes {X1h.shape} vs {X2h.shape}"
+            )
+        idx = np.linspace(0, n - 1, num=min(16, n), dtype=np.int64)
+        if not np.array_equal(X1h[idx], X2h[idx]):
+            raise ValueError(
+                "symmetric=True but X1 and X2 differ (checked 16 sampled "
+                "rows); pass symmetric=False (or None) for distinct data"
+            )
     if symmetric and not _debug_skip and n == m:
         Xh_s = _pad_to(Xh, 1, fb)
         Xl_s = None if Xl is None else _pad_to(Xl, 1, fb)
         OH = _value64_symmetric(
             Xh_s, Xl_s, V, gamma_h, gamma_l, kind, tile_m, tile_n,
-            interpret, fb=fb, chunk_rows=chunk_rows,
+            interpret, fb=fb, chunk_rows=chunk_rows, devices=devices,
         )
         # const scaling exactly in f64, then split back to the (hi, lo)
         # contract (error ~2^-53, below the evaluation's own grade)
@@ -766,9 +852,19 @@ def kernel_matmat_value64(
     m_p = Yh.shape[0]
     ni, nj, nb = chunk_rows // tile_m, m_p // tile_n, d_p // fb
 
-    yh_in = jnp.asarray(Yh.T.copy())  # (d_p, m_p)
-    yl_in = None if Xl is None else jnp.asarray(Yl.T.copy())
-    vt_in = jnp.asarray(Vp.T.copy())
+    # Y-side staged ONCE — per device when round-robining a mesh.
+    devs = list(devices) if devices else [None]
+    yh_np = Yh.T.copy()  # (d_p, m_p)
+    yl_np = None if Xl is None else Yl.T.copy()
+    vt_np = Vp.T.copy()
+    y_per_dev = [
+        (
+            _commit(yh_np, dv),
+            None if yl_np is None else _commit(yl_np, dv),
+            _commit(vt_np, dv),
+        )
+        for dv in devs
+    ]
 
     if nb == 1:
         # single slab spans the whole feature axis → plain 2-D blocks are
@@ -805,12 +901,14 @@ def kernel_matmat_value64(
             kind=kind, debug_skip=_debug_skip, f64_acc=f64_acc,
         )
 
-    def _chunk_inputs(s0):
-        xh_c = _xlayout(Xh[s0 : s0 + chunk_rows])
+    def _chunk_inputs(s0, dev_i):
+        yh_in, yl_in, vt_in = y_per_dev[dev_i]
+        dv = devs[dev_i]
+        xh_c = _commit(_xlayout(Xh[s0 : s0 + chunk_rows]), dv)
         if Xl is None:
-            return [jnp.asarray(xh_c), yh_in, vt_in]
-        xl_c = _xlayout(Xl[s0 : s0 + chunk_rows])
-        return [jnp.asarray(xh_c), jnp.asarray(xl_c), yh_in, yl_in, vt_in]
+            return [xh_c, yh_in, vt_in]
+        xl_c = _commit(_xlayout(Xl[s0 : s0 + chunk_rows]), dv)
+        return [xh_c, xl_c, yh_in, yl_in, vt_in]
 
     in_specs = (
         [x_spec, y_spec, v_spec]
@@ -851,11 +949,15 @@ def kernel_matmat_value64(
         interpret=interpret,
     )
 
-    his, los = [], []
-    for s0 in range(0, n_p, chunk_rows):
-        h, l = call(*_chunk_inputs(s0))
-        his.append(np.asarray(h))
-        los.append(np.asarray(l))
+    # Issue every chunk before fetching any: fetches synchronize, and on a
+    # multi-device mesh the round-robined chunks overlap across chips (on
+    # one device the dispatch queue pipelines them the same way). Outputs
+    # are (chunk_rows, k) f32 pairs — small enough to defer at any n.
+    handles = []
+    for ci, s0 in enumerate(range(0, n_p, chunk_rows)):
+        handles.append(call(*_chunk_inputs(s0, ci % len(devs))))
+    his = [np.asarray(h) for h, _ in handles]
+    los = [np.asarray(l) for _, l in handles]
     hi = jnp.asarray(np.concatenate(his, axis=0)[:n, :k])
     lo = jnp.asarray(np.concatenate(los, axis=0)[:n, :k])
     c = float(const_scaling)

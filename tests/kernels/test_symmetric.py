@@ -349,3 +349,29 @@ def test_banded_supported_predicate():
     # 8x fewer bands and stays eligible.
     assert not kernel_symmetric_banded_supported(10**8, 28, 8, "rbf", "bf16x3")
     assert kernel_symmetric_banded_supported(10**8, 28, 1, "rbf", "bf16x3")
+
+
+def test_mirror_exact_tier_canary_onchip():
+    """On-chip accuracy canary (ADVICE r4): the exact-tier k>=3 symmetric
+    mirror relies on Mosaic NOT constant-folding ``kv - f32(bf16(kv))``
+    (``_mirror_dot6``); a compiler change would silently degrade it from
+    ~1.5e-7 to ~2e-3 error. Compare against the general kernel with a
+    1e-6 bar so a toolchain regression fails LOUDLY. Skipped off-TPU
+    (interpret mode cannot exhibit the Mosaic folding)."""
+    from rlaopt_tpu.ops.kernel_dispatch import _on_tpu
+
+    if not _on_tpu():
+        pytest.skip("on-chip Mosaic canary — requires a TPU backend")
+    n, d, k = 4096, 28, 4
+    X = jax.random.normal(KEY, (n, d), jnp.float32)
+    V = jax.random.normal(jax.random.fold_in(KEY, 1), (n, k), jnp.float32)
+    ls = float(d) ** 0.5
+    sym = kernel_matvec_symmetric("rbf", X, V, ls, 1.0, compute_dtype=None)
+    gen = kernel_matmat_pallas("rbf", X, X, V, ls, 1.0, compute_dtype=None)
+    import numpy as np
+
+    rel = float(
+        np.abs(np.asarray(sym) - np.asarray(gen)).max()
+        / np.abs(np.asarray(gen)).max()
+    )
+    assert rel < 1e-6, f"symmetric mirror degraded: rel {rel:.2e}"

@@ -160,10 +160,10 @@ def test_value64_1d_rhs_and_dim_guard():
     hi, lo = kernel_matmat_value64(X, X, v, 2.0, interpret=True)
     assert hi.shape == (64,) and lo.shape == (64,)
 
-    with pytest.raises(ValueError, match="d <= 64"):
+    with pytest.raises(ValueError, match="d <= 512"):
         kernel_matmat_value64(
-            rng.standard_normal((16, 80)).astype(np.float32),
-            rng.standard_normal((16, 80)).astype(np.float32),
+            rng.standard_normal((16, 600)).astype(np.float32),
+            rng.standard_normal((16, 600)).astype(np.float32),
             v[:16], 1.0, interpret=True,
         )
 
@@ -209,3 +209,84 @@ def test_value64_symmetric_ard_and_scaling():
     a = np.asarray(hi_r, np.float64) + np.asarray(lo_r, np.float64)
     b = np.asarray(hi_s, np.float64) + np.asarray(lo_s, np.float64)
     assert np.abs(a - b).max() / np.abs(a).max() < 1e-12
+
+
+@pytest.mark.parametrize("d", [100, 128])
+def test_value64_wide_feature_dim(d):
+    """Round 5: the d-cap is lifted past the reference's distributed
+    PCG-KRR width d=100 (reference experiments/distributed_krr_linsys_
+    solve_test.py:20-48). Host-f64 parity at the evaluation grade."""
+    rng = np.random.default_rng(7)
+    n, m, k = 260, 240, 2
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    Y = rng.standard_normal((m, d)).astype(np.float32)
+    V = rng.standard_normal((m, k)).astype(np.float32)
+    ls = float(d) ** 0.5
+    hi, lo = kernel_matmat_value64(X, Y, V, ls, interpret=True)
+    got = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+    exact = _f64_rbf_matmat(X, Y, V, ls)
+    rel = np.abs(got - exact).max() / np.abs(exact).max()
+    assert rel < 1.5e-7, f"value64 d={d} rel err {rel:.2e}"
+
+
+def test_value64_symmetric_claim_validated():
+    """ADVICE r4: explicit symmetric=True with distinct data must raise,
+    not silently return the Gram product of X1 alone."""
+    rng = np.random.default_rng(8)
+    X1 = rng.standard_normal((96, 8)).astype(np.float32)
+    X2 = rng.standard_normal((96, 8)).astype(np.float32)
+    v = rng.standard_normal(96).astype(np.float32)
+    with pytest.raises(ValueError, match="symmetric=True but X1 and X2"):
+        kernel_matmat_value64(X1, X2, v, 2.0, interpret=True, symmetric=True)
+    # equal-by-value distinct buffers are accepted
+    hi, lo = kernel_matmat_value64(
+        X1, X1.copy(), v, 2.0, interpret=True, symmetric=True
+    )
+    hi2, lo2 = kernel_matmat_value64(X1, X1, v, 2.0, interpret=True)
+    a = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+    b = np.asarray(hi2, np.float64) + np.asarray(lo2, np.float64)
+    assert np.abs(a - b).max() / np.abs(b).max() < 1e-12
+
+
+def test_value64_tile_m_power_of_two():
+    """ADVICE r4: non-power-of-two tile_m breaks the pair body's sublane
+    halving reduce mid-trace — must be rejected up front."""
+    rng = np.random.default_rng(9)
+    X = rng.standard_normal((64, 8)).astype(np.float32)
+    v = rng.standard_normal(64).astype(np.float32)
+    with pytest.raises(ValueError, match="tile_m must be a power of two"):
+        kernel_matmat_value64(X, X, v, 2.0, interpret=True, tile_m=24)
+
+
+def test_value64_devices_round_robin():
+    """Round 5: the devices= round-robin (chunks across a mesh's devices)
+    is numerically identical to the single-device dispatch — rectangular
+    and symmetric drivers, multi-chunk forced."""
+    import jax
+
+    devs = jax.devices()
+    assert len(devs) >= 2  # conftest forces 8 virtual CPU devices
+    rng = np.random.default_rng(10)
+    n, d, k = 1100, 12, 2
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    Y = rng.standard_normal((n - 60, d)).astype(np.float32)
+    V = rng.standard_normal((n - 60, k)).astype(np.float32)
+    v_sym = rng.standard_normal((n, k)).astype(np.float32)
+    ls = float(d) ** 0.5
+    # rectangular
+    a = kernel_matmat_value64(X, Y, V, ls, interpret=True, chunk_rows=256)
+    b = kernel_matmat_value64(
+        X, Y, V, ls, interpret=True, chunk_rows=256, devices=devs
+    )
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=0, atol=0)
+    # symmetric pair-chunk
+    a = kernel_matmat_value64(
+        X, X, v_sym, ls, interpret=True, chunk_rows=384, tile_n=128
+    )
+    b = kernel_matmat_value64(
+        X, X, v_sym, ls, interpret=True, chunk_rows=384, tile_n=128,
+        devices=devs,
+    )
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=0, atol=0)

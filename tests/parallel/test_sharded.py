@@ -207,7 +207,7 @@ class TestShardedEndToEnd:
             callback_freq=50,
             key=key,
         )
-        it = max(log.keys())
+        it = max(i for i in log.keys() if isinstance(i, int))
         rel = float(
             jnp.max(log[it]["metrics"]["internal_metrics"]["rel_res"])
         )
@@ -426,3 +426,79 @@ print("ODD RING OK")
         K = compute_kernel_matrix("rbf", X, X, 1.0)
         v = np.linspace(0, 1, n)
         assert np.allclose(A @ jnp.asarray(v), K @ v, rtol=1e-9, atol=1e-9)
+
+
+class TestShardedCertifiedResiduals:
+    """Round 5 (VERDICT r4 item 2): the certified-residual subsystem
+    composes with the sharded operator — compensated evaluation and the
+    value64 route run across the mesh."""
+
+    @pytest.mark.parametrize("memory_mode", ["replicated", "ring"])
+    def test_matmat_compensated_sharded(self, key, mesh, memory_mode):
+        n, d, k = 50, 3, 2  # ragged over 8 devices on purpose
+        kx, kv = jax.random.split(key)
+        X = jax.random.normal(kx, (n, d), dtype=jnp.float32)
+        V = jax.random.normal(kv, (n, k), dtype=jnp.float32)
+        cfg = KernelConfig(const_scaling=1.3, lengthscale=0.9)
+        A = ShardedRBFLinOp(X, X, cfg, mesh=mesh, memory_mode=memory_mode)
+        hi, lo = A.matmat_compensated(V)
+        assert hi.shape == (n, k) and lo.shape == (n, k)
+        K = compute_kernel_matrix("rbf", X, X, 0.9, const_scaling=1.3)
+        want = np.asarray(K, np.float64) @ np.asarray(V, np.float64)
+        got = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+        assert np.abs(got - want).max() / np.abs(want).max() < 5e-6
+        # 1-D operand round-trips
+        h1, l1 = A.matmat_compensated(V[:, 0])
+        assert h1.shape == (n,)
+        np.testing.assert_allclose(np.asarray(h1), np.asarray(hi[:, 0]),
+                                   rtol=1e-6)
+
+    def test_matmat_value64_sharded(self, key, mesh):
+        """The mesh value64 route matches a host-f64 evaluation at the
+        engine's certified grade (chunks round-robined over 8 devices)."""
+        n, d = 700, 5
+        kx, kv = jax.random.split(key)
+        X = jax.random.normal(kx, (n, d), dtype=jnp.float32)
+        v = jax.random.normal(kv, (n,), dtype=jnp.float32)
+        cfg = KernelConfig(const_scaling=0.8, lengthscale=1.4)
+        A = ShardedRBFLinOp(X, X, cfg, mesh=mesh)
+        hi, lo = A.matmat_value64(np.asarray(v))
+        got = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+        K = compute_kernel_matrix("rbf", X, X, 1.4, const_scaling=0.8)
+        want = np.asarray(K, np.float64) @ np.asarray(v, np.float64)
+        rel = np.abs(got - want).max() / np.abs(want).max()
+        assert rel < 1.5e-7, f"sharded value64 rel err {rel:.2e}"
+
+    @pytest.mark.slow
+    def test_sharded_refinement_matches_single_device(self, key, mesh):
+        """A sharded f32 KRR solve with f64_refine_rounds=2 must reach the
+        same f64-grade solution as the single-device refinement (VERDICT
+        r4 item 2 'done' criterion)."""
+        from rlaopt_tpu.kernels import RBFLinOp
+
+        n, d, k = 260, 4, 2
+        kx, kb = jax.random.split(key)
+        X = jax.random.normal(kx, (n, d), dtype=jnp.float32)
+        B = jax.random.normal(kb, (n, k), dtype=jnp.float32)
+        reg = 1e-3
+        cfg = KernelConfig(lengthscale=float(d) ** 0.5)
+        pcg = PCGConfig(
+            max_iters=200, rtol=1e-6,
+            precond_config=NystromConfig(rank=64, rho=reg),
+        )
+        sols = {}
+        for name, A in (
+            ("sharded", ShardedRBFLinOp(X, X, cfg, mesh=mesh)),
+            ("single", RBFLinOp(X, X, cfg)),
+        ):
+            sys_ = LinSys(A, B, reg=reg)
+            W64, log = sys_.solve(
+                pcg, jnp.zeros_like(B), key=key,
+                f64_refine_rounds=2, f64_refine_device="accel",
+            )
+            sols[name] = np.asarray(W64)
+            hist = log["f64_refine"]["rel_res_f64"]
+            assert max(hist[-1]) < 1e-6, (name, hist)
+        diff = np.linalg.norm(sols["sharded"] - sols["single"])
+        scale = np.linalg.norm(sols["single"])
+        assert diff / scale < 1e-6, diff / scale

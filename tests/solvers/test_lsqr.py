@@ -28,7 +28,7 @@ def ls_problem(key):
 
 
 def final_rel(log):
-    it = max(log.keys())
+    it = max(i for i in log.keys() if isinstance(i, int))
     return float(jnp.max(log[it]["metrics"]["internal_metrics"]["rel_res"]))
 
 
@@ -58,7 +58,7 @@ class TestLSQR:
             err = float(
                 jnp.linalg.norm(W - W_true) / jnp.linalg.norm(W_true)
             )
-            return max(log.keys()), err
+            return max(i for i in log.keys() if isinstance(i, int)), err
 
     # sketch size 4x cols, standard sketch-and-precondition regime
         it_pre, err_pre = iters(

@@ -31,7 +31,7 @@ def make_spd_system(key, n, k, dtype, cond_exp=2.0):
 
 
 def final_rel_res(log):
-    last = log[max(log.keys())]
+    last = log[max(i for i in log.keys() if isinstance(i, int))]
     return jnp.max(last["metrics"]["internal_metrics"]["rel_res"])
 
 
@@ -103,7 +103,7 @@ class TestPCGLinSys:
             _, log = sys.solve(
                 cfg, jnp.zeros_like(B), callback_freq=5, key=key
             )
-            return max(log.keys())
+            return max(i for i in log.keys() if isinstance(i, int))
 
         it_nys = iters_to_converge(NystromConfig(rank=150, rho=reg))
         it_id = iters_to_converge(IdentityConfig())
@@ -460,7 +460,7 @@ class TestRecurrenceMetrics:
             cfg, jnp.zeros_like(B), callback_freq=10, key=key,
             metrics="sampled",
         )
-        last = max(log.keys())
+        last = max(i for i in log.keys() if isinstance(i, int))
         final = log[last]["metrics"]["internal_metrics"]
         assert "source" not in final
         mids = [i for i in log.keys() if 0 < i < last]
@@ -651,6 +651,17 @@ class TestF64Refinement:
         t = true_rel(W64)
         assert claimed <= 1e-5
         assert abs(claimed - t) < 2e-7 + 0.1 * t, (claimed, t)
+        # Round 5 (ADVICE r4): an update-sourced final claim carries an
+        # in-library guard — an independent host-sampled exact-f64 check,
+        # recorded in the log. (If the solve converged at an evaluated
+        # round, no update happened and no guard is needed; the hybrid
+        # test exercises the guard-present path.)
+        if log["f64_refine"]["residual_sources"][-1] == "update":
+            chk = log["f64_refine"]["update_check"]
+            assert chk["refreshed"] in (True, False)
+            assert max(chk["sampled_rel"]) < 1.6 * max(
+                chk["claim_rel"]
+            ) + 1e-9 or chk["refreshed"]
 
         # default "evaluate" driven far below the value64 floor: the
         # reported residual is the EVALUATED system's (it can undershoot
@@ -672,6 +683,110 @@ class TestF64Refinement:
         t_e = true_rel(W64e)
         assert claimed_e < 1e-9  # evaluated-system residual: converged
         assert t_e < 5e-7, t_e  # true residual: at the value64 floor
+
+    def test_refinement_hybrid_mode(self, key):
+        """Round 5: ``f64_refine_residual="hybrid"`` steers the first
+        correction off a compensated exact-f32 residual and certifies
+        with a full value64 evaluation on the next round — the claim
+        grade must match plain "evaluate" while skipping the first
+        value64 sweep."""
+        import numpy as np
+
+        from rlaopt_tpu.kernels import KernelConfig, RBFLinOp
+        from rlaopt_tpu.models import LinSys
+        from rlaopt_tpu.preconditioners import NystromConfig
+        from rlaopt_tpu.solvers import PCGConfig
+
+        n, d = 384, 6
+        kx, kb = jax.random.split(key)
+        X = jax.random.normal(kx, (n, d), dtype=jnp.float32)
+        y = jax.random.normal(kb, (n,), dtype=jnp.float32)
+        reg = 1e-3 * n
+        ls = float(d) ** 0.5
+        K = RBFLinOp(X, X, KernelConfig(lengthscale=ls))
+        cfg = PCGConfig(
+            max_iters=60, rtol=1e-6,
+            precond_config=NystromConfig(rank=96, rho=float(reg)),
+        )
+        W64, log = LinSys(K, y, reg=float(reg)).solve(
+            cfg, jnp.zeros((n, 1), jnp.float32), callback_freq=20, key=key,
+            f64_refine_rounds=2, f64_refine_device="accel",
+            f64_refine_residual="hybrid",
+        )
+        ref = log["f64_refine"]
+        srcs = ref["residual_sources"]
+        assert srcs[0] == "compensated_f32", srcs
+        # a full value64 evaluation happened after the cheap round (the
+        # certifying sweep); the final claim is never cheap-sourced, and
+        # an update-sourced final claim carries the sampled-f64 guard
+        assert "evaluate" in srcs[1:], srcs
+        assert srcs[-1] in ("evaluate", "update"), srcs
+        if srcs[-1] == "update":
+            assert ref["update_check"]["refreshed"] in (True, False)
+        # truth check: host f64
+        X64 = np.asarray(X, np.float64) / ls
+        d2 = (
+            (X64**2).sum(1)[:, None] + (X64**2).sum(1)[None, :]
+            - 2.0 * X64 @ X64.T
+        )
+        K64 = np.exp(-0.5 * np.maximum(d2, 0.0))
+        y64 = np.asarray(y, np.float64)[:, None]
+        R = y64 - (K64 @ W64 + float(reg) * W64)
+        t = float(np.linalg.norm(R) / np.linalg.norm(y64))
+        claimed = max(ref["rel_res_f64"][-1])
+        assert claimed <= 1e-6
+        assert t <= 1.2e-6, t  # truth agrees with the certified claim
+        # hybrid must not raise on a non-kernel operand route check
+        with pytest.raises(ValueError, match="hybrid"):
+            A = jax.random.normal(kx, (64, 64), dtype=jnp.float32)
+            A = A @ A.T + jnp.eye(64, dtype=jnp.float32)
+            LinSys(A, y[:64], reg=1.0).solve(
+                PCGConfig(max_iters=5, rtol=1e-4),
+                jnp.zeros((64, 1), jnp.float32), key=key,
+                f64_refine_rounds=1, f64_refine_device="accel",
+                f64_refine_residual="hybrid",
+            )
+
+    def test_sampled_f64_residual_estimator(self, key):
+        """The update-mode guard's measuring tool: the host-sampled f64
+        residual estimate is exact at full sampling and unbiased-accurate
+        on kernel and dense operands."""
+        import numpy as np
+
+        from rlaopt_tpu.kernels import KernelConfig, RBFLinOp
+        from rlaopt_tpu.models import LinSys
+
+        n, d, k = 300, 5, 2
+        kx, kb, kw = jax.random.split(key, 3)
+        X = jax.random.normal(kx, (n, d), dtype=jnp.float32)
+        B = jax.random.normal(kb, (n, k), dtype=jnp.float32)
+        W64 = np.asarray(
+            jax.random.normal(kw, (n, k), dtype=jnp.float32), np.float64
+        )
+        ls = float(d) ** 0.5
+        reg = 1e-2
+        K = RBFLinOp(X, X, KernelConfig(lengthscale=ls))
+        sys_ = LinSys(K, B, reg=reg)
+        est, stderr = sys_._sampled_f64_residual(W64)  # s=n here: exact
+        X64 = np.asarray(X, np.float64) / ls
+        d2 = (
+            (X64**2).sum(1)[:, None] + (X64**2).sum(1)[None, :]
+            - 2.0 * X64 @ X64.T
+        )
+        K64 = np.exp(-0.5 * np.maximum(d2, 0.0))
+        R = np.asarray(B, np.float64) - (K64 @ W64 + reg * W64)
+        want = np.linalg.norm(R, axis=0)
+        np.testing.assert_allclose(np.asarray(est), want, rtol=1e-7)
+        # dense operand path
+        A = jax.random.normal(kx, (n, n), dtype=jnp.float32)
+        sys_d = LinSys(A, B, reg=reg)
+        est_d, _ = sys_d._sampled_f64_residual(W64)
+        Rd = np.asarray(B, np.float64) - (
+            np.asarray(A, np.float64) @ W64 + reg * W64
+        )
+        np.testing.assert_allclose(
+            np.asarray(est_d), np.linalg.norm(Rd, axis=0), rtol=1e-9
+        )
 
     def test_dense_refinement(self, key):
         import numpy as np
@@ -749,7 +864,9 @@ class TestConfirmBackoff:
         assert 1 <= len(confirms) <= 14, len(confirms)
 
     def test_stall_terminates_early_with_true_residual(self, key):
-        """Two consecutive stalled confirms certify the operator floor
+        """Stalled confirms with the raw estimator far below tolerance
+        (ADVICE r4: a bare two-confirm rule was too eager for
+        plateau-then-resume spectra) certify the operator floor
         and stop the solve early — with TRUE (source-free) final metrics
         and the ``stalled`` marker, never a false convergence claim."""
         from rlaopt_tpu.models import LinSys
@@ -758,9 +875,11 @@ class TestConfirmBackoff:
 
         A, B = make_spd_system(key, 128, 2, jnp.float32)
         reg = 1e-4
-        # unreachable target: this f32 problem floors at ~4e-5
+        # unreachable target: this f32 problem floors at ~4e-5.
+        # max_iters sized so the THIRD stalled confirm (round 5: three
+        # required, with exponential backoff between attempts) can fire.
         cfg = PCGConfig(
-            max_iters=80, rtol=1e-7,
+            max_iters=300, rtol=1e-7,
             precond_config=NystromConfig(rank=48, rho=reg),
         )
         sys_ = LinSys(A, B, reg=reg)
@@ -770,8 +889,11 @@ class TestConfirmBackoff:
         )
         last = max(i for i in log if isinstance(i, int))
         fin = log[last]["metrics"]["internal_metrics"]
-        assert last < 80  # stopped before max_iters
+        assert last < 300  # stopped before max_iters
         assert fin.get("stalled") is True
+        # surfaced in the RETURN VALUE too (ADVICE r4), not only metrics
+        assert log.get("stalled") is True
+        assert sys_.stalled is True
         assert "source" not in fin or fin.get("source") is None
         # the reported residual is the true floor, not the optimistic
         # recurrence estimate (which kept contracting)

@@ -75,7 +75,7 @@ class TestSAP:
             accel=True, accel_config=SAPAccelConfig(mu=0.05, nu=4.0),
         )
         W, log = sys_.solve(cfg, jnp.zeros_like(B), callback_freq=100, key=key)
-        it = max(log.keys())
+        it = max(i for i in log.keys() if isinstance(i, int))
         rel = float(jnp.max(log[it]["metrics"]["internal_metrics"]["rel_res"]))
         assert rel < 1e-3
 

@@ -161,7 +161,7 @@ class TestSparse100k:
             cfg, jnp.zeros((n, 1), dtype=jnp.float32), callback_freq=10,
             key=key,
         )
-        it = max(log.keys())
+        it = max(i for i in log.keys() if isinstance(i, int))
         rel = float(jnp.max(log[it]["metrics"]["internal_metrics"]["rel_res"]))
         assert rel < 1e-4
 
