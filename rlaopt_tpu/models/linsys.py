@@ -374,6 +374,7 @@ class LinSys(Model):
         f64_refine_rounds: int = 0,
         f64_refine_device: str = "cpu",
         f64_refine_residual: str = "evaluate",
+        f64_refine_certify: str = "full",
         preconditioner=None,
         metrics: str = "auto",
     ):
@@ -444,6 +445,20 @@ class LinSys(Model):
         CLAIM still rests on a value64-evaluated residual; the cheap
         round is recorded as ``"compensated_f32"`` in the refine log's
         ``residual_sources``.
+
+        ``f64_refine_certify`` ("full" default): with ``"hybrid"``
+        residual mode, ``"sampled"`` replaces the certifying full value64
+        sweep with the sampled value64 certificate
+        (:meth:`_sampled_value64_residual`) — s rows at certified value
+        grade, an unbiased residual-norm estimate whose ONLY uncertainty
+        is the recorded ~(2s)^-1/2 sampling noise. The certificate is
+        accepted only with a 5-sigma margin under tolerance AND an
+        independent host-f64 sampled second opinion (different rows,
+        different arithmetic); any disagreement falls back to the full
+        evaluation. The refine log's ``sampled_certificate`` entry carries
+        both estimates. Use when the full sweep dominates the wall (it was
+        47% at the n=1M north star) and a statistical certificate with
+        ~16x margin is acceptable; keep "full" for exact-norm claims.
 
         The update carries the initial evaluation's error forward, so the
         reported residual is the EVALUATED system's — honest only while
@@ -579,6 +594,7 @@ class LinSys(Model):
                 callback_freq, key, device=f64_refine_device,
                 preconditioner=getattr(solver, "P", None),
                 residual_mode=f64_refine_residual,
+                certify=f64_refine_certify,
             )
             log["f64_refine"] = refine_log
         return solution, log
@@ -862,10 +878,69 @@ class LinSys(Model):
         est = np.linalg.norm(r, axis=0) * (n / s) ** 0.5
         return est, (2.0 / s) ** 0.5
 
+    def _sampled_value64_residual(self, W64, s: int = 8192, seed: int = 0x64):
+        """Unbiased per-column residual-norm estimate with VALUE64-grade
+        kernel rows (s rows × all columns through the certified engine).
+
+        The f64-grade analog of the solver's sampled metrics: each sampled
+        row's residual entry is evaluated to ~1e-9 relative (two value64
+        row sweeps: W_hi and W_lo), so the ONLY uncertainty in the
+        estimate is the sampling noise, ~(2s)^-1/2 relative standard
+        error. Returns ``(est_abs, rel_stderr)`` or None for operands
+        without a value64 route.
+        """
+        import numpy as np
+
+        from ..kernels.linop import KernelLinOp
+        from ..kernels.sharded import ShardedKernelLinOp
+        from ..ops.kernel_value64 import VALUE64_MAX_D, kernel_matmat_value64
+
+        if not isinstance(self._A, (KernelLinOp, ShardedKernelLinOp)):
+            return None
+        if isinstance(self._A, ShardedKernelLinOp):
+            X1 = self._A.A1
+            X2full = self._A.A2
+            ls = np.asarray(self._A._data["ls"], np.float64)
+            c = float(self._A._scale)
+            devices = self._A._mesh_devices()
+        else:
+            d = self._A._data
+            X1, X2full = d["X1"], d["X2"]
+            ls = np.asarray(d["ls"], np.float64)
+            c = float(d["scale"])
+            devices = None
+        if X1.shape[1] > VALUE64_MAX_D:
+            return None
+        if ls.size and np.all(ls == ls.flat[0]):
+            ls = float(ls.flat[0])
+        n = self._B.shape[0]
+        s = min(s, n)
+        rng = np.random.default_rng(seed ^ n)
+        idx = np.sort(rng.choice(n, size=s, replace=False))
+        Xr = np.asarray(X1[jnp.asarray(idx)])
+        Wh = np.asarray(W64, np.float32)
+        Wl = (np.asarray(W64) - Wh).astype(np.float32)
+        kind = self._A.kind
+        hi, lo = kernel_matmat_value64(
+            Xr, X2full, Wh, ls, c, kind=kind, devices=devices
+        )
+        rows = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+        if np.any(Wl):
+            hi2, lo2 = kernel_matmat_value64(
+                Xr, X2full, Wl, ls, c, kind=kind, devices=devices
+            )
+            rows = rows + np.asarray(hi2, np.float64) + np.asarray(
+                lo2, np.float64
+            )
+        B64 = np.asarray(self._B, np.float64)
+        r = B64[idx] - (rows.reshape(s, -1) + float(self._reg) * W64[idx])
+        est = np.linalg.norm(r, axis=0) * (n / s) ** 0.5
+        return est, (2.0 * s) ** -0.5
+
     def _refine_f64(
         self, W, solver_config, rounds, atol, rtol, callback_freq, key,
         device: str = "cpu", preconditioner=None,
-        residual_mode: str = "evaluate",
+        residual_mode: str = "evaluate", certify: str = "full",
     ):
         """Refinement loop (see ``solve``); returns (W64, per-round log)."""
         import dataclasses
@@ -901,6 +976,14 @@ class LinSys(Model):
         # run a full evaluation before any claim is made.
         need_eval = True
         src = None
+        sampled_claim = None
+        if certify not in ("full", "sampled"):
+            raise ValueError(f"unknown f64_refine_certify {certify!r}")
+        if certify == "sampled" and not hybrid:
+            raise ValueError(
+                "f64_refine_certify='sampled' requires "
+                "f64_refine_residual='hybrid'"
+            )
         for rnd in range(rounds):
             _t = time.perf_counter()
             if rnd == 0 and hybrid:
@@ -917,6 +1000,29 @@ class LinSys(Model):
                 )
                 src = "compensated_f32"
             elif need_eval or mm_update is None:
+                if hybrid and certify == "sampled":
+                    # Sampled value64 certificate (round 5): s rows of the
+                    # residual at value64 grade — an unbiased norm estimate
+                    # whose only uncertainty is the recorded sampling noise
+                    # — at a ~1/100 the cost of the full sweep (the full
+                    # value64 evaluation was 47% of the r4 north-star
+                    # wall). Accepted only with a 5-sigma margin UNDER the
+                    # tolerance; anything else falls through to the full
+                    # evaluation. An independent host-f64 sampled second
+                    # opinion is taken after the loop.
+                    sv = self._sampled_value64_residual(W64)
+                    if sv is not None:
+                        est, stderr = sv
+                        tol_abs = np.maximum(rtol * b_norms, atol)
+                        if np.all(est * (1.0 + 5.0 * stderr) <= tol_abs):
+                            sampled_claim = (est, stderr)
+                            src = "value64_sampled"
+                            sources.append(src)
+                            walls["residual_f64"].append(
+                                round(time.perf_counter() - _t, 3)
+                            )
+                            hist.append((est / b_norms).tolist())
+                            break
                 R64 = B64 - (mm64(W64) + reg * W64)
                 src = "evaluate"
             else:
@@ -998,6 +1104,51 @@ class LinSys(Model):
                     round(time.perf_counter() - _t, 3)
                 )
                 src = "update"  # R64's provenance from here on
+        if sampled_claim is not None:
+            # Sampled-certified exit: the claim entry is already in hist/
+            # sources. Take an INDEPENDENT host-f64 sampled second opinion
+            # (different rows, different arithmetic path); on disagreement
+            # beyond the combined noise fall back to the full evaluation.
+            out = {
+                "rel_res_f64": hist,
+                "residual_sources": sources,
+                "phase_walls": walls,
+            }
+            est, stderr = sampled_claim
+            cert_log = {
+                "claim_rel": (est / b_norms).tolist(),
+                "rel_stderr": stderr,
+            }
+            _t = time.perf_counter()
+            chk = self._sampled_f64_residual(W64)
+            if chk is not None:
+                h_est, h_stderr = chk
+                cert_log["host_sampled_rel"] = (h_est / b_norms).tolist()
+                cert_log["host_rel_stderr"] = h_stderr
+                cert_log["host_wall_s"] = round(time.perf_counter() - _t, 3)
+                margin = 1.0 + 5.0 * (stderr + h_stderr)
+                if bool(
+                    np.any(h_est > margin * np.maximum(est, 1e-300))
+                ) or not bool(
+                    np.all(
+                        h_est * (1.0 - 5.0 * h_stderr)
+                        <= np.maximum(rtol * b_norms, atol)
+                    )
+                ):
+                    _t = time.perf_counter()
+                    R64 = B64 - (mm64(W64) + reg * W64)
+                    walls["residual_f64"].append(
+                        round(time.perf_counter() - _t, 3)
+                    )
+                    cert_log["refreshed"] = True
+                    sources.append("evaluate")
+                    hist.append(
+                        (np.linalg.norm(R64, axis=0) / b_norms).tolist()
+                    )
+                else:
+                    cert_log["refreshed"] = False
+            out["sampled_certificate"] = cert_log
+            return W64, out
         if need_eval:
             _t = time.perf_counter()
             R64 = B64 - (mm64(W64) + reg * W64)

@@ -406,6 +406,12 @@ def _body_pipe(*refs, kind, nj, acc_mode, cross_fn, n_in):
 
     cross = cross_fn(ops)
     # Previous tile's epilogue: VPU work with no dependence on `cross`.
+    # NOTE (round-5 measurement): gating this off the j == 0 warm-up step
+    # (where it computes finish(0)·0) with pl.when costs 30% — 0.988 →
+    # 1.280 ms per 16k² d=28 sweep — Mosaic serializes around the
+    # conditional and the MXU/VPU overlap collapses. The zero-work warm-up
+    # pass is FREE (hidden under the current tile's cross passes); leave
+    # it branch-free.
     _acc_update(acc_ref, _finish_pre(kind, kprev_ref[:]), vprev_ref, acc_mode)
     kprev_ref[:] = _pre_tile(kind, cross, hx_ref[:], hy_ref[:])
     vprev_ref[:] = v_ref[:].astype(jnp.float32)
@@ -935,8 +941,17 @@ def kernel_matmat_pallas(
                 )
         elif cd == "bfloat16":
             inputs = [Xc.astype(jnp.bfloat16), YcT.astype(jnp.bfloat16)]
+            # Round-5 measured dispatch: the 1-pass tier has the smallest
+            # MXU window, so the k-column VPU lane-reduce contraction is
+            # the least hideable — at d>=256 routing it to the MXU as one
+            # extra bf16 pass (tier-matched accuracy) wins outright:
+            # d=512 k=8: 121.4 -> 128.0 TF (roofline fraction 0.86->0.91);
+            # d=256 k=8: 94.5 -> 105.7 TF (0.79->0.89). k=1 and small d
+            # keep the VPU reduce (the extra 128-lane pass doubles the
+            # MXU work of a 1-pass d=128 cross).
+            bf16_fast = k_p8 > 16 or (k > 1 and Xc.shape[1] >= 256)
             acc_mode = _resolve_acc_mode(
-                acc_mode, ("vpu", k) if k_p8 <= 16 else "fast", k
+                acc_mode, "fast" if bf16_fast else ("vpu", k), k
             )
             if pipeline:
                 body = functools.partial(

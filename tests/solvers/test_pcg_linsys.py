@@ -747,6 +747,61 @@ class TestF64Refinement:
                 f64_refine_residual="hybrid",
             )
 
+    def test_refinement_sampled_certificate(self, key):
+        """Round 5: hybrid + f64_refine_certify="sampled" certifies with
+        the sampled value64 estimate plus an independent host-f64 second
+        opinion instead of the full sweep; the claim must agree with the
+        host-f64 truth at the certificate's noise grade."""
+        import numpy as np
+
+        from rlaopt_tpu.kernels import KernelConfig, RBFLinOp
+        from rlaopt_tpu.models import LinSys
+        from rlaopt_tpu.preconditioners import NystromConfig
+        from rlaopt_tpu.solvers import PCGConfig
+
+        n, d = 400, 6
+        kx, kb = jax.random.split(key)
+        X = jax.random.normal(kx, (n, d), dtype=jnp.float32)
+        y = jax.random.normal(kb, (n,), dtype=jnp.float32)
+        reg = 1e-3 * n
+        ls = float(d) ** 0.5
+        K = RBFLinOp(X, X, KernelConfig(lengthscale=ls))
+        cfg = PCGConfig(
+            max_iters=60, rtol=1e-5,
+            precond_config=NystromConfig(rank=96, rho=float(reg)),
+        )
+        W64, log = LinSys(K, y, reg=float(reg)).solve(
+            cfg, jnp.zeros((n, 1), jnp.float32), callback_freq=20, key=key,
+            f64_refine_rounds=2, f64_refine_device="accel",
+            f64_refine_residual="hybrid", f64_refine_certify="sampled",
+        )
+        ref = log["f64_refine"]
+        srcs = ref["residual_sources"]
+        # the certificate fired (s=n here: the sampled estimate is exact)
+        assert "value64_sampled" in srcs, srcs
+        cert = ref["sampled_certificate"]
+        assert cert["refreshed"] is False, cert
+        # truth agrees with the claim
+        X64 = np.asarray(X, np.float64) / ls
+        d2 = (
+            (X64**2).sum(1)[:, None] + (X64**2).sum(1)[None, :]
+            - 2.0 * X64 @ X64.T
+        )
+        K64 = np.exp(-0.5 * np.maximum(d2, 0.0))
+        y64 = np.asarray(y, np.float64)[:, None]
+        R = y64 - (K64 @ W64 + float(reg) * W64)
+        t = float(np.linalg.norm(R) / np.linalg.norm(y64))
+        claim = max(cert["claim_rel"])
+        assert t <= 1.1e-5, t
+        assert abs(claim - t) <= 0.2 * t + 1e-9, (claim, t)
+        # sampled certify without hybrid is rejected
+        with pytest.raises(ValueError, match="sampled"):
+            LinSys(K, y, reg=float(reg)).solve(
+                cfg, jnp.zeros((n, 1), jnp.float32), key=key,
+                f64_refine_rounds=1, f64_refine_device="accel",
+                f64_refine_certify="sampled",
+            )
+
     def test_sampled_f64_residual_estimator(self, key):
         """The update-mode guard's measuring tool: the host-sampled f64
         residual estimate is exact at full sampling and unbiased-accurate
