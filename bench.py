@@ -650,11 +650,13 @@ def _tier_krr1():
     )
     epi = _RESULT.get("krr_epilogue_bound_tvalues_per_s")
     exp_p = _RESULT.get("exp_pipeline_texp_per_s")
+    peak = _RESULT.get("peak_bf16_tflops")
     out = {}
     for sym, tvals in rates.items():
+        t_sweep_ms = 16384.0**2 / (tvals * 1e12) * 1e3
         entry = {
             "kernel_values_per_s": round(tvals * 1e12),
-            "ms_per_16k2_sweep": round(16384.0**2 / (tvals * 1e12) * 1e3, 3),
+            "ms_per_16k2_sweep": round(t_sweep_ms, 3),
         }
         # bound: minimal per-value VPU mix (general ceiling 1.0, symmetric
         # ceiling 2.0 — it evaluates half the tiles)
@@ -662,6 +664,16 @@ def _tier_krr1():
             entry["vs_epilogue_bound"] = round(tvals / epi, 3)
         if exp_p:
             entry["vs_exp_pipeline"] = round(tvals / exp_p, 3)
+        # Round-5 bound correction: at d=28 the exact tier's 6-term bf16
+        # fold is a 256-deep MXU stream — MORE expensive than the VPU
+        # epilogue, so the honest roofline for the GENERAL kernel is
+        # max(mxu_fold, epilogue); the symmetric kernel halves both.
+        if peak and epi:
+            fold_ms = 16384.0**2 * 2 * 256 / (peak * 1e12) * 1e3
+            epi_ms = 16384.0**2 / (epi * 1e12) * 1e3
+            bound_ms = max(fold_ms, epi_ms) / (2.0 if sym else 1.0)
+            entry["mxu_fold_bound_ms"] = round(fold_ms, 3)
+            entry["vs_combined_bound"] = round(bound_ms / t_sweep_ms, 3)
         out["symmetric" if sym else "general"] = entry
     _RESULT["krr_shape_d28_k1_exact"] = out
 

@@ -979,10 +979,11 @@ class LinSys(Model):
         sampled_claim = None
         if certify not in ("full", "sampled"):
             raise ValueError(f"unknown f64_refine_certify {certify!r}")
-        if certify == "sampled" and not hybrid:
+        if certify == "sampled" and mm_update is None:
             raise ValueError(
                 "f64_refine_certify='sampled' requires "
-                "f64_refine_residual='hybrid'"
+                "f64_refine_residual='hybrid' or 'update' (a kernel "
+                "operator with f64_refine_device='accel')"
             )
         for rnd in range(rounds):
             _t = time.perf_counter()
@@ -1000,7 +1001,7 @@ class LinSys(Model):
                 )
                 src = "compensated_f32"
             elif need_eval or mm_update is None:
-                if hybrid and certify == "sampled":
+                if certify == "sampled" and rnd > 0:
                     # Sampled value64 certificate (round 5): s rows of the
                     # residual at value64 grade — an unbiased norm estimate
                     # whose only uncertainty is the recorded sampling noise
@@ -1022,6 +1023,7 @@ class LinSys(Model):
                                 round(time.perf_counter() - _t, 3)
                             )
                             hist.append((est / b_norms).tolist())
+                            need_eval = False
                             break
                 R64 = B64 - (mm64(W64) + reg * W64)
                 src = "evaluate"
@@ -1081,9 +1083,18 @@ class LinSys(Model):
             )
             delta64 = np.asarray(delta, np.float64)
             W64 = W64 + delta64
-            if mm_update is None or (hybrid and src == "compensated_f32"):
+            if (
+                mm_update is None
+                or (hybrid and src == "compensated_f32")
+                or certify == "sampled"
+            ):
                 # evaluate/hybrid-first-round: the next residual must be a
-                # full evaluation (hybrid: the certifying value64 sweep)
+                # full evaluation (hybrid: the certifying value64 sweep).
+                # certify="sampled": skip the post-correction residual
+                # UPDATE too — it is a full compensated sweep (~23 s at
+                # n=1M) spent computing a vector the sampled certificate
+                # replaces; the next loop top tries the certificate first
+                # and only falls back to the full evaluation if it fails.
                 need_eval = True
             else:
                 # Residual UPDATE instead of re-evaluation:
@@ -1104,6 +1115,23 @@ class LinSys(Model):
                     round(time.perf_counter() - _t, 3)
                 )
                 src = "update"  # R64's provenance from here on
+        if need_eval and certify == "sampled" and sampled_claim is None:
+            # ran out of rounds right after a correction: try the sampled
+            # certificate before paying the full-evaluation fallback
+            _t = time.perf_counter()
+            sv = self._sampled_value64_residual(W64)
+            if sv is not None:
+                est, stderr = sv
+                tol_abs = np.maximum(rtol * b_norms, atol)
+                if np.all(est * (1.0 + 5.0 * stderr) <= tol_abs):
+                    sampled_claim = (est, stderr)
+                    src = "value64_sampled"
+                    sources.append(src)
+                    walls["residual_f64"].append(
+                        round(time.perf_counter() - _t, 3)
+                    )
+                    hist.append((est / b_norms).tolist())
+                    need_eval = False
         if sampled_claim is not None:
             # Sampled-certified exit: the claim entry is already in hist/
             # sources. Take an INDEPENDENT host-f64 sampled second opinion
